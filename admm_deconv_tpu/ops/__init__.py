@@ -1,0 +1,20 @@
+"""Solver core: FFT precompute, difference stencils, prox operators, ADMM loop.
+
+TPU-native replacement for the reference's ``src/ops/ops.jl`` (CPU/GPU twin
+implementations collapse into one jit-compiled, backend-agnostic path).
+"""
+
+from admm_deconv_tpu.ops.fft import psf_to_otf, laplacian_spectrum
+from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
+from admm_deconv_tpu.ops import prox
+from admm_deconv_tpu.ops.solver import tv_deconvolve, tv_deconvolve_adaptive
+
+__all__ = [
+    "psf_to_otf",
+    "laplacian_spectrum",
+    "grad2d",
+    "grad2d_adjoint",
+    "prox",
+    "tv_deconvolve",
+    "tv_deconvolve_adaptive",
+]

@@ -1,0 +1,375 @@
+"""ADMM TV deconvolution solver — the framework's compute core.
+
+One jit-compiled, backend-agnostic implementation replacing the reference's
+hand-duplicated CPU/GPU twins (``src/ops/ops.jl:17-96`` / ``:99-178``).
+
+Problem (reference contract, ``src/ops/ops.jl``): given blurred/noisy ``y``
+and PSF ``h``, solve
+
+    min_x  0.5 * ||H x - y||^2 + lam * ||D x||
+
+with ``||.||`` the anisotropic l1 or isotropic l2,1 norm of the circular
+image gradient ``D``.  Split ``z = D x`` with scaled dual ``u`` and penalty
+``rho``; threshold ``tau = lam / rho``.
+
+Per-iteration hot loop (vs reference ``src/ops/ops.jl:84-92``):
+
+    q   = D^T (z - u)                       # roll-stencil, fused elementwise
+    x   = irfft2( C * (B_f + rho * rfft2(q)) )   # closed-form x-update
+    Dx  = D x
+    z,u = fused prox + dual ascent
+
+Design deltas from the reference (all TPU-motivated):
+  * ``H^T y`` is precomputed once in the rFFT domain (``B_f``) and cached —
+    the reference recomputes the spatial ``H^T(y)`` conv every iteration
+    (known inefficiency at ``src/ops/ops.jl:86``).
+  * 2 FFTs per iteration total; D/D^T/H are never materialized as convs.
+  * The denominator pieces ``|Sigma|^2`` and ``|Lambda|^2`` are cached
+    separately so adaptive-rho re-forms ``C`` with one elementwise op.
+  * ``lax.scan`` over iterations (optionally rematerialized) keeps the loop
+    a single XLA computation and makes the solver differentiable end-to-end.
+  * An adaptive variant (``tv_deconvolve_adaptive``) adds per-image residual
+    balancing of rho and early stopping via ``lax.while_loop`` —
+    capabilities beyond the reference's fixed-iteration loop.
+
+Layout: public API is NHWC ``(B, H, W, C)`` (also accepts ``(H, W)`` and
+``(H, W, C)``).  Channels are deconvolved independently with the same PSF, so
+internally they fold into the batch dim — the TPU analogue of the reference's
+``permutedims(y, (1,2,4,3))`` channel-to-batch move (``src/ops/ops.jl:19``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from admm_deconv_tpu.ops import prox as prox_lib
+from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
+from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
+
+
+class ADMMState(NamedTuple):
+    """Solver iterate: primal image, split gradient pair, scaled duals."""
+
+    x: jnp.ndarray
+    zx: jnp.ndarray
+    zy: jnp.ndarray
+    ux: jnp.ndarray
+    uy: jnp.ndarray
+
+
+class ADMMDiagnostics(NamedTuple):
+    """Per-solve observability the reference never surfaces.
+
+    ``r_norm``/``s_norm`` are per-image primal/dual residual norms,
+    ``iterations`` the number of iterations actually run (== ``iters`` for the
+    fixed path), ``rho`` the final penalty (per image for the adaptive path).
+    """
+
+    r_norm: jnp.ndarray
+    s_norm: jnp.ndarray
+    iterations: jnp.ndarray
+    rho: jnp.ndarray
+
+
+def _normalize_input(y: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    """Promote ``(H,W)``/``(H,W,C)``/``(B,H,W,C)`` to ``(B,H,W,C)``."""
+    orig_shape = y.shape
+    if y.ndim == 2:
+        y = y[None, :, :, None]
+    elif y.ndim == 3:
+        y = y[None]
+    elif y.ndim != 4:
+        raise ValueError(f"expected 2/3/4-dim input, got shape {orig_shape}")
+    return y, orig_shape
+
+
+def _fold(y: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> (B*C, H, W): channels ride the batch dim."""
+    b, h, w, c = y.shape
+    return jnp.transpose(y, (0, 3, 1, 2)).reshape(b * c, h, w)
+
+
+def _unfold(x: jnp.ndarray, b: int, c: int) -> jnp.ndarray:
+    """(B*C, H, W) -> (B,H,W,C)."""
+    n, h, w = x.shape
+    return jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
+def _fold_param(p, b: int, c: int, dtype) -> jnp.ndarray:
+    """Broadcast a scalar / (1,) / (B,) / (B,C) parameter to (B*C, 1, 1)."""
+    p = jnp.asarray(p, dtype=dtype)
+    if p.ndim == 0 or p.size == 1:
+        return p.reshape(())
+    if p.shape == (b,):
+        p = jnp.repeat(p, c)
+    elif p.shape == (b, c):
+        p = p.reshape(b * c)
+    else:
+        raise ValueError(
+            f"parameter shape {p.shape} not broadcastable over batch={b}, channels={c}"
+        )
+    return p[:, None, None]
+
+
+def _prepare(y, psf, lam, rho):
+    """Shared precompute: folding, OTF, spectra, cached rhs."""
+    y4, _ = _normalize_input(y)
+    b, h, w, c = y4.shape
+    dtype = y4.dtype
+    y_f = _fold(y4)
+
+    lam_f = _fold_param(lam, b, c, dtype)
+    rho_f = _fold_param(rho, b, c, dtype)
+
+    lap = laplacian_spectrum((h, w), dtype=dtype)
+    y_hat = jnp.fft.rfft2(y_f)
+    if psf is None or (hasattr(psf, "size") and psf.size == 0):
+        # Pure TV denoising: H = identity (reference `src/ops/ops.jl:22,67-69`).
+        denom_h = jnp.ones((), dtype=dtype)
+        b_f = y_hat
+    else:
+        psf = jnp.asarray(psf, dtype=dtype)
+        if psf.ndim != 2:
+            psf = psf.reshape(psf.shape[0], psf.shape[1])
+        otf = psf_to_otf(psf, (h, w))
+        denom_h = jnp.abs(otf) ** 2
+        b_f = jnp.conj(otf) * y_hat
+    return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
+
+
+def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds):
+    q = grad2d_adjoint(zx - ux, zy - uy)
+    x = jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    if x_bounds is not None:
+        x = jnp.clip(x, x_bounds[0], x_bounds[1])
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "prox", "x_bounds", "return_diagnostics", "remat"),
+)
+def tv_deconvolve(
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None = None,
+    lam=0.1,
+    rho=1.0,
+    iters: int = 100,
+    prox: str | Callable = "aniso",
+    x_bounds: tuple[float, float] | None = None,
+    return_diagnostics: bool = False,
+    remat: bool = False,
+):
+    """Fixed-iteration ADMM TV deconvolution (differentiable).
+
+    API twin of the reference dispatcher ``tvd_fft(y, lam, rho, h, isotropic,
+    maxit)`` (``src/ops/ops.jl:181-188``); ``prox='aniso'|'iso'`` maps to its
+    ``isotropic`` flag, with 'hard'/'gauss' exposing the reference's unused
+    HT/GT operators.  Output is not clamped unless ``x_bounds`` is given,
+    matching the reference (callers clamp).
+
+    Args:
+      y: degraded image(s), ``(B,H,W,C)`` (or 2-D/3-D variants), float32.
+      psf: blur kernel ``(kh,kw)`` or None for pure TV denoising.
+      lam: TV weight — scalar or per-image ``(B,)`` / per-channel ``(B,C)``.
+      rho: ADMM penalty, same broadcast rules.
+      iters: number of ADMM iterations (static).
+      prox: z-update operator name or callable.
+      x_bounds: optional box constraint projected in the x-update.
+      return_diagnostics: also return per-iteration residual norms.
+      remat: rematerialize the loop body under autodiff (memory vs FLOPs).
+
+    Returns:
+      Restored image(s) with the input's shape, or ``(x, ADMMDiagnostics)``.
+    """
+    prox_fn = prox_lib.resolve(prox)
+    y = jnp.asarray(y)
+    _, orig_shape = _normalize_input(y)
+    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(y, psf, lam, rho)
+    tau = lam_f / rho_f
+    c_spec = 1.0 / (denom_h + rho_f * lap)
+
+    n = b * c
+    zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
+    state = ADMMState(zeros, zeros, zeros, zeros, zeros)
+
+    def body(state: ADMMState, _):
+        x = _x_update(
+            b_f, c_spec, rho_f, state.zx, state.zy, state.ux, state.uy, h, w, x_bounds
+        )
+        dxx, dxy = grad2d(x)
+        zx, zy, ux, uy = prox_lib.prox_dual_step(
+            dxx, dxy, state.ux, state.uy, tau, prox_fn
+        )
+        new_state = ADMMState(x, zx, zy, ux, uy)
+        if return_diagnostics:
+            r = jnp.sqrt(
+                jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1))
+            )
+            dz = grad2d_adjoint(zx - state.zx, zy - state.zy)
+            s = jnp.squeeze(rho_f, axis=(-2, -1)) if rho_f.ndim else rho_f
+            s = s * jnp.sqrt(jnp.sum(dz**2, axis=(-2, -1)))
+            return new_state, (r, s)
+        return new_state, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    state, ys = jax.lax.scan(body, state, None, length=iters)
+    x = _unfold(state.x, b, c).reshape(orig_shape)
+
+    if return_diagnostics:
+        r_hist, s_hist = ys
+        diags = ADMMDiagnostics(
+            r_norm=r_hist[-1],
+            s_norm=s_hist[-1],
+            iterations=jnp.asarray(iters),
+            rho=jnp.broadcast_to(jnp.squeeze(rho_f), (n,)),
+        )
+        return x, diags
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters",
+        "prox",
+        "x_bounds",
+        "adapt_rho",
+        "check_every",
+    ),
+)
+def tv_deconvolve_adaptive(
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None = None,
+    lam=0.1,
+    rho=1.0,
+    max_iters: int = 200,
+    prox: str | Callable = "aniso",
+    x_bounds: tuple[float, float] | None = None,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-3,
+    adapt_rho: bool = True,
+    mu: float = 10.0,
+    tau_scale: float = 2.0,
+    check_every: int = 1,
+):
+    """ADMM with per-image residual-balanced rho and early stopping.
+
+    Inference-path extension beyond the reference's fixed-iteration loop
+    (BASELINE configs 2/3): Boyd-style stopping
+    (``r <= eps_pri``, ``s <= eps_dual``) and penalty adaptation
+    (``rho *= tau`` when ``r > mu*s``, with the scaled dual rescaled
+    accordingly).  ``C`` is re-formed from the cached spectra on the fly.
+    Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
+    learned-layer path.
+
+    Returns ``(x, ADMMDiagnostics)``.
+    """
+    prox_fn = prox_lib.resolve(prox)
+    y = jnp.asarray(y)
+    _, orig_shape = _normalize_input(y)
+    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(y, psf, lam, rho)
+    n = b * c
+    rho0 = jnp.ones((n, 1, 1), dtype=y_f.dtype) * rho_f
+    lam0 = jnp.ones((n, 1, 1), dtype=y_f.dtype) * lam_f
+
+    zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
+    sqrt_n = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y_f.dtype))
+
+    def cond(carry):
+        state, rho_cur, it, done = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done)))
+
+    def body(carry):
+        state, rho_cur, it, _ = carry
+        c_spec = 1.0 / (denom_h + rho_cur * lap)
+        x = _x_update(
+            b_f, c_spec, rho_cur, state.zx, state.zy, state.ux, state.uy, h, w, x_bounds
+        )
+        dxx, dxy = grad2d(x)
+        tau = lam0 / rho_cur
+        zx, zy, ux, uy = prox_lib.prox_dual_step(dxx, dxy, state.ux, state.uy, tau, prox_fn)
+
+        # Per-image residual norms (psum-able across spatial tiles).
+        r_norm = jnp.sqrt(jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1)))
+        dz = grad2d_adjoint(zx - state.zx, zy - state.zy)
+        rho_v = rho_cur[:, 0, 0]
+        s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
+
+        dx_norm = jnp.sqrt(jnp.sum(dxx * dxx + dxy * dxy, axis=(-2, -1)))
+        z_norm = jnp.sqrt(jnp.sum(zx * zx + zy * zy, axis=(-2, -1)))
+        dual = grad2d_adjoint(ux, uy)
+        dual_norm = rho_v * jnp.sqrt(jnp.sum(dual * dual, axis=(-2, -1)))
+
+        eps_pri = sqrt_n * eps_abs + eps_rel * jnp.maximum(dx_norm, z_norm)
+        eps_dual = sqrt_n * eps_abs + eps_rel * dual_norm
+        done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
+
+        if adapt_rho:
+            grow = r_norm > mu * s_norm
+            shrink = s_norm > mu * r_norm
+            factor = jnp.where(grow, tau_scale, jnp.where(shrink, 1.0 / tau_scale, 1.0))
+            factor = jnp.where(done, 1.0, factor)[:, None, None]
+            rho_new = rho_cur * factor
+            # Rescaling rho rescales the *scaled* dual u = (1/rho) * dual.
+            ux = ux / factor
+            uy = uy / factor
+        else:
+            rho_new = rho_cur
+
+        new_state = ADMMState(x, zx, zy, ux, uy)
+        return (new_state, rho_new, it + 1, done)
+
+    state0 = ADMMState(zeros, zeros, zeros, zeros, zeros)
+    init = (state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool))
+    state, rho_fin, it, done = jax.lax.while_loop(cond, body, init)
+
+    # Final residuals for reporting.
+    dxx, dxy = grad2d(state.x)
+    r_norm = jnp.sqrt(jnp.sum((dxx - state.zx) ** 2 + (dxy - state.zy) ** 2, axis=(-2, -1)))
+    x = _unfold(state.x, b, c).reshape(orig_shape)
+    diags = ADMMDiagnostics(
+        r_norm=r_norm,
+        s_norm=jnp.zeros_like(r_norm),
+        iterations=it,
+        rho=rho_fin[:, 0, 0],
+    )
+    return x, diags
+
+
+def tv_objective(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None,
+    lam,
+    isotropic: bool = False,
+) -> jnp.ndarray:
+    """TV-regularized objective ``0.5||Hx - y||^2 + lam * ||Dx||``.
+
+    Correctness note: the reference's ``objfun_iso/aniso``
+    (``src/ops/ops.jl:13-14``) use ``||x - y||^2`` — i.e. they omit H — and
+    are never called.  This implements the actual objective the solver
+    minimizes, for logging/validation.
+    """
+    x4, _ = _normalize_input(jnp.asarray(x))
+    y4, _ = _normalize_input(jnp.asarray(y))
+    xf, yf = _fold(x4), _fold(y4)
+    h, w = xf.shape[-2:]
+    if psf is None:
+        hx = xf
+    else:
+        otf = psf_to_otf(jnp.asarray(psf, dtype=xf.dtype), (h, w))
+        hx = jnp.fft.irfft2(otf * jnp.fft.rfft2(xf), s=(h, w))
+    data = 0.5 * jnp.sum((hx - yf) ** 2)
+    dxx, dxy = grad2d(xf)
+    if isotropic:
+        tv = jnp.sum(jnp.sqrt(dxx * dxx + dxy * dxy))
+    else:
+        tv = jnp.sum(jnp.abs(dxx) + jnp.abs(dxy))
+    return data + lam * tv

@@ -1,0 +1,219 @@
+"""Solver tests: parity with the reference algorithm, convergence, autodiff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from admm_deconv_tpu.ops.solver import (
+    tv_deconvolve,
+    tv_deconvolve_adaptive,
+    tv_objective,
+)
+from admm_deconv_tpu.metrics import peak_snr
+
+from reference_twin import admm_tv_reference, circ_conv_centered
+
+
+def _motion_psf(k=7):
+    """The reference e2e scenario's 7x7 horizontal motion PSF
+    (admm_deconv_test.jl:19-21)."""
+    psf = np.zeros((k, k), dtype=np.float32)
+    psf[k // 2, :] = 1.0 / k
+    return psf
+
+
+def _test_image(rng, h=32, w=32):
+    """Piecewise-constant synthetic image in [0, 1] (TV-friendly, edge-rich)."""
+    img = np.zeros((h, w))
+    for _ in range(6):
+        r0, c0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+        r1, c1 = rng.integers(h // 2, h), rng.integers(w // 2, w)
+        img[r0:r1, c0:c1] += rng.random() * 0.4
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img += 0.2 + 0.15 * np.sin(2 * np.pi * yy / h) * np.cos(2 * np.pi * xx / w)
+    return np.clip(img, 0, 1)
+
+
+class TestReferenceParity:
+    """Bit-level agreement with the independent numpy twin of the reference."""
+
+    @pytest.mark.parametrize("isotropic", [False, True])
+    def test_deconv_matches_reference_twin(self, rng, isotropic):
+        img = _test_image(rng)
+        psf = _motion_psf(5).astype(np.float64)
+        blurred = circ_conv_centered(img, psf)
+
+        expected = admm_tv_reference(
+            blurred, psf, lam=0.01, rho=0.05, iters=20, isotropic=isotropic
+        )
+        got = tv_deconvolve(
+            jnp.asarray(blurred, jnp.float32),
+            psf=jnp.asarray(psf, jnp.float32),
+            lam=0.01,
+            rho=0.05,
+            iters=20,
+            prox="iso" if isotropic else "aniso",
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
+
+    def test_denoise_matches_reference_twin(self, rng):
+        img = _test_image(rng) + 0.1 * rng.standard_normal((32, 32))
+        expected = admm_tv_reference(img, None, lam=0.1, rho=1.0, iters=15)
+        got = tv_deconvolve(
+            jnp.asarray(img, jnp.float32), psf=None, lam=0.1, rho=1.0, iters=15
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
+
+    def test_batch_channel_independence(self, rng):
+        """Each image/channel must be solved independently (batch-invariant) —
+        unlike the reference's batch-coupled isotropic pixelnorm (documented
+        divergence, ops.jl:6)."""
+        imgs = np.stack([_test_image(rng), _test_image(rng) * 0.5])
+        batch = jnp.asarray(imgs[..., None], jnp.float32)  # (2,H,W,1)
+        psf = jnp.asarray(_motion_psf(5))
+        joint = tv_deconvolve(batch, psf=psf, lam=0.01, rho=0.05, iters=10, prox="iso")
+        solo0 = tv_deconvolve(batch[:1], psf=psf, lam=0.01, rho=0.05, iters=10, prox="iso")
+        np.testing.assert_allclose(
+            np.asarray(joint[0]), np.asarray(solo0[0]), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestConvergence:
+    def test_restoration_improves_psnr(self, rng):
+        img = _test_image(rng, 64, 64)
+        psf = _motion_psf(7).astype(np.float64)
+        blurred = circ_conv_centered(img, psf)
+        x = tv_deconvolve(
+            jnp.asarray(blurred, jnp.float32),
+            psf=jnp.asarray(psf, jnp.float32),
+            lam=0.0041,
+            rho=0.021,
+            iters=100,
+        )
+        x = jnp.clip(x, 0, 1)
+        ref = jnp.asarray(img, jnp.float32)
+        psnr_blurred = float(peak_snr(jnp.asarray(blurred, jnp.float32)[None], ref[None]))
+        psnr_restored = float(peak_snr(x[None], ref[None]))
+        assert psnr_restored > psnr_blurred + 1.0
+
+    def test_objective_decreases(self, rng):
+        img = _test_image(rng)
+        psf = _motion_psf(5).astype(np.float64)
+        blurred = jnp.asarray(circ_conv_centered(img, psf), jnp.float32)
+        psf32 = jnp.asarray(psf, jnp.float32)
+        objs = [
+            float(tv_objective(
+                tv_deconvolve(blurred, psf=psf32, lam=0.01, rho=0.05, iters=it),
+                blurred, psf32, 0.01,
+            ))
+            for it in (2, 10, 40)
+        ]
+        assert objs[2] <= objs[1] <= objs[0] + 1e-3
+
+    def test_residuals_decrease(self, rng):
+        img = _test_image(rng)
+        blurred = jnp.asarray(img, jnp.float32)
+        _, diag = tv_deconvolve(
+            blurred, None, lam=0.05, rho=0.5, iters=30, return_diagnostics=True
+        )
+        assert np.all(np.isfinite(np.asarray(diag.r_norm)))
+
+    def test_input_shapes(self, rng):
+        img = jnp.asarray(_test_image(rng), jnp.float32)
+        for shape in [(32, 32), (32, 32, 3), (2, 32, 32, 3)]:
+            pad_dims = len(shape) - 2
+            reshaped = img.reshape((1,) * (pad_dims > 1) + (32, 32) + (1,) * min(pad_dims, 1))
+            y = jnp.broadcast_to(reshaped, shape)
+            out = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=5)
+            assert out.shape == shape
+
+    def test_x_bounds(self, rng):
+        img = _test_image(rng)
+        out = tv_deconvolve(
+            jnp.asarray(img, jnp.float32), None, lam=0.01, rho=0.1, iters=10,
+            x_bounds=(0.0, 1.0),
+        )
+        assert float(jnp.min(out)) >= 0.0
+        assert float(jnp.max(out)) <= 1.0
+
+
+class TestAutodiff:
+    def test_grad_wrt_lam_rho_finite_diff(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        target = jnp.asarray(_test_image(rng, 16, 16), jnp.float32)
+
+        def loss(lam, rho):
+            x = tv_deconvolve(y, None, lam=lam, rho=rho, iters=8)
+            return jnp.mean((x - target) ** 2)
+
+        g_lam, g_rho = jax.grad(loss, argnums=(0, 1))(0.05, 0.5)
+        eps = 1e-3
+        fd_lam = (float(loss(0.05 + eps, 0.5)) - float(loss(0.05 - eps, 0.5))) / (2 * eps)
+        fd_rho = (float(loss(0.05, 0.5 + eps)) - float(loss(0.05, 0.5 - eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g_lam), fd_lam, rtol=0.05, atol=1e-4)
+        np.testing.assert_allclose(float(g_rho), fd_rho, rtol=0.05, atol=1e-4)
+
+    def test_grad_wrt_psf(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        psf0 = jnp.asarray(_motion_psf(3))
+
+        def loss(psf):
+            x = tv_deconvolve(y, psf, lam=0.01, rho=0.1, iters=5)
+            return jnp.mean(x**2)
+
+        g = jax.grad(loss)(psf0)
+        assert g.shape == psf0.shape
+        assert np.all(np.isfinite(np.asarray(g)))
+        # Finite-difference spot check of one tap.
+        eps = 1e-3
+        e = jnp.zeros_like(psf0).at[1, 1].set(eps)
+        fd = (float(loss(psf0 + e)) - float(loss(psf0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[1, 1]), fd, rtol=0.05, atol=1e-4)
+
+    def test_remat_matches_plain(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+
+        def loss(lam, remat):
+            x = tv_deconvolve(y, None, lam=lam, rho=0.5, iters=10, remat=remat)
+            return jnp.mean(x**2)
+
+        g_plain = jax.grad(loss)(0.05, False)
+        g_remat = jax.grad(loss)(0.05, True)
+        np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-5)
+
+
+class TestAdaptive:
+    def test_converges_and_stops_early(self, rng):
+        img = _test_image(rng, 32, 32)
+        x, diag = tv_deconvolve_adaptive(
+            jnp.asarray(img, jnp.float32), None, lam=0.05, rho=0.5,
+            max_iters=500, eps_abs=1e-4, eps_rel=1e-3,
+        )
+        assert int(diag.iterations) < 500
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_adaptive_matches_fixed_when_disabled(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        x_fixed = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=30)
+        x_adapt, diag = tv_deconvolve_adaptive(
+            y, None, lam=0.05, rho=0.5, max_iters=30,
+            eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        )
+        assert int(diag.iterations) == 30
+        np.testing.assert_allclose(
+            np.asarray(x_fixed), np.asarray(x_adapt), rtol=1e-4, atol=1e-5
+        )
+
+    def test_adaptive_rho_changes(self, rng):
+        img = _test_image(rng, 32, 32)
+        _, diag = tv_deconvolve_adaptive(
+            jnp.asarray(img, jnp.float32), None, lam=0.5, rho=100.0,
+            max_iters=100, eps_abs=0.0, eps_rel=0.0, adapt_rho=True,
+        )
+        # Badly-scaled initial rho must be rebalanced.
+        assert not np.allclose(np.asarray(diag.rho), 100.0)

@@ -1,0 +1,117 @@
+"""Paired-image dataset with aligned random crops + a batching loader.
+
+Capability parity with the reference's ``ImageDataFeeder``
+(``src/processing/datafeeder.jl:5-78``): glob-discovered x/y file pairs,
+one random crop offset per sample applied to *both* images
+(``datafeeder.jl:42-45``), oversized requests falling back to the whole
+image with a warning (``:36-40``), batches stacked along a new batch axis.
+Output layout is NHWC float32 in [0, 1] (the reference uses HWCB).
+
+The loader adds what ``Flux.DataLoader`` provided there: batching, optional
+shuffling, and deterministic seeding (the reference seeds Julia's global RNG;
+here a ``numpy.random.Generator`` is owned by the loader).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+import warnings
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from admm_deconv_tpu.data.imageio import load_image
+
+
+class ImageDataFeeder:
+    """Paired (degraded x, clean y) image dataset with aligned random crops."""
+
+    def __init__(
+        self,
+        x_dir: str,
+        y_dir: str,
+        extension: str = ".png",
+        x_shape: tuple[int, int] | None = None,
+        y_shape: tuple[int, int] | None = None,
+        rng: np.random.Generator | None = None,
+    ):
+        self.x_paths = sorted(globlib.glob(os.path.join(x_dir, "*" + extension)))
+        self.y_paths = sorted(globlib.glob(os.path.join(y_dir, "*" + extension)))
+        if not self.x_paths or not self.y_paths:
+            warnings.warn(
+                f"Provided paths resulted in an empty list of images. "
+                f"X DATA: {len(self.x_paths)}; Y DATA: {len(self.y_paths)}"
+            )
+        self.x_shape = x_shape
+        self.y_shape = y_shape
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def __len__(self) -> int:
+        return len(self.y_paths)
+
+    def _get_pair(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        imgx = load_image(self.x_paths[idx])
+        imgy = load_image(self.y_paths[idx])
+        if self.y_shape is None:
+            return imgx, imgy
+        th, tw = self.y_shape
+        ih, iw = imgy.shape[:2]
+        if th > ih or tw > iw:
+            warnings.warn(
+                f"Desired target shape {self.y_shape} exceeds image size "
+                f"{(ih, iw)}; returning the whole image"
+            )
+            return imgx, imgy
+        # One offset, applied to both images (datafeeder.jl:42-45).
+        r = int(self.rng.integers(0, ih - th + 1))
+        c = int(self.rng.integers(0, iw - tw + 1))
+        xh, xw = self.x_shape if self.x_shape is not None else (th, tw)
+        return (
+            imgx[r : r + xh, c : c + xw, :],
+            imgy[r : r + th, c : c + tw, :],
+        )
+
+    def __getitem__(self, idxs) -> tuple[np.ndarray, np.ndarray]:
+        if np.isscalar(idxs):
+            idxs = [int(idxs)]
+        pairs = [self._get_pair(int(i)) for i in idxs]
+        batch_x = np.stack([p[0] for p in pairs], axis=0)
+        batch_y = np.stack([p[1] for p in pairs], axis=0)
+        return batch_x, batch_y
+
+
+class DataLoader:
+    """Minimal epoch iterator over an :class:`ImageDataFeeder`."""
+
+    def __init__(
+        self,
+        dataset: ImageDataFeeder,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        rng: np.random.Generator | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        stop = (
+            len(order) - len(order) % self.batch_size
+            if self.drop_last
+            else len(order)
+        )
+        for start in range(0, stop, self.batch_size):
+            yield self.dataset[order[start : start + self.batch_size]]

@@ -1,0 +1,122 @@
+"""Data pipeline tests: IO round-trip, aligned crops, loader, AWGN builder."""
+
+import os
+
+import numpy as np
+import pytest
+
+from admm_deconv_tpu.data import (
+    ImageDataFeeder,
+    DataLoader,
+    add_awgn,
+    generate_awgn_dataset,
+    load_image,
+    save_image,
+    img_to_tensor,
+    tensor_to_img,
+)
+
+
+@pytest.fixture
+def image_dirs(tmp_path, rng):
+    """Paired x/y dirs with 4 small images each."""
+    xd, yd = tmp_path / "x", tmp_path / "y"
+    xd.mkdir()
+    yd.mkdir()
+    for i in range(4):
+        # Keep y in [0, 0.8] so x = y + 0.1 never clips (crop-alignment test
+        # relies on a constant x-y offset).
+        img = (rng.random((40, 48, 3)) * 0.8).astype(np.float32)
+        save_image(str(yd / f"{i}.png"), img)
+        save_image(str(xd / f"{i}.png"), img + 0.1)
+    return str(xd), str(yd)
+
+
+class TestImageIO:
+    def test_round_trip(self, tmp_path, rng):
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        p = str(tmp_path / "t.png")
+        save_image(p, img)
+        loaded = load_image(p)
+        assert loaded.shape == (16, 16, 3)
+        np.testing.assert_allclose(loaded, img, atol=1 / 255 + 1e-6)
+
+    def test_grayscale_gets_channel_dim(self, rng):
+        arr = (rng.random((8, 8)) * 255).astype(np.uint8)
+        t = img_to_tensor(arr)
+        assert t.shape == (8, 8, 1)
+        assert t.max() <= 1.0
+
+    def test_tensor_to_img_clamps(self):
+        img = tensor_to_img(np.array([[[2.0], [-1.0]]]))
+        arr = np.asarray(img)
+        assert arr.max() == 255 and arr.min() == 0
+
+
+class TestFeeder:
+    def test_pairs_and_crops(self, image_dirs):
+        xd, yd = image_dirs
+        feeder = ImageDataFeeder(
+            xd, yd, ".png", (32, 32), (32, 32), rng=np.random.default_rng(0)
+        )
+        assert len(feeder) == 4
+        bx, by = feeder[[0, 1]]
+        assert bx.shape == (2, 32, 32, 3)
+        assert by.shape == (2, 32, 32, 3)
+
+    def test_crop_alignment(self, image_dirs):
+        # x = y + 0.1 by construction; the same crop offset must be used for
+        # both, so the difference stays ~0.1 everywhere.
+        xd, yd = image_dirs
+        feeder = ImageDataFeeder(
+            xd, yd, ".png", (16, 16), (16, 16), rng=np.random.default_rng(0)
+        )
+        bx, by = feeder[[0]]
+        diff = bx - by
+        assert float(np.nanmax(np.abs(diff - np.median(diff)))) < 0.06
+
+    def test_oversized_crop_warns_and_returns_whole(self, image_dirs):
+        xd, yd = image_dirs
+        feeder = ImageDataFeeder(xd, yd, ".png", (100, 100), (100, 100))
+        with pytest.warns(UserWarning):
+            bx, by = feeder[[0]]
+        assert by.shape[1:3] == (40, 48)
+
+    def test_empty_dir_warns(self, tmp_path):
+        with pytest.warns(UserWarning):
+            ImageDataFeeder(str(tmp_path), str(tmp_path), ".png")
+
+    def test_loader_batching(self, image_dirs):
+        xd, yd = image_dirs
+        feeder = ImageDataFeeder(
+            xd, yd, ".png", (16, 16), (16, 16), rng=np.random.default_rng(0)
+        )
+        loader = DataLoader(feeder, batch_size=3, shuffle=True, rng=np.random.default_rng(1))
+        batches = list(loader)
+        assert len(batches) == 2  # 3 + 1
+        assert batches[0][0].shape[0] == 3
+        assert batches[1][0].shape[0] == 1
+        loader_dl = DataLoader(feeder, batch_size=3, drop_last=True)
+        assert len(list(loader_dl)) == 1
+
+
+class TestDatasetBuilder:
+    def test_awgn_stats(self, rng):
+        img = np.full((64, 64, 3), 0.5, np.float32)
+        noisy = add_awgn(img, rng, 25, 25)
+        assert noisy.shape == img.shape
+        resid = (noisy - img) * 255
+        assert 15 < resid.std() < 35
+        assert noisy.min() >= 0 and noisy.max() <= 1
+
+    def test_generate_dataset(self, tmp_path, rng):
+        src = tmp_path / "clean"
+        src.mkdir()
+        for i in range(3):
+            save_image(str(src / f"{i}.png"), rng.random((20, 20, 3)).astype(np.float32))
+        n = generate_awgn_dataset(str(src), str(tmp_path / "out"), 10, 20)
+        assert n == 3
+        xs = sorted(os.listdir(tmp_path / "out" / "x"))
+        ys = sorted(os.listdir(tmp_path / "out" / "y"))
+        assert len(xs) == len(ys) == 3
+        assert xs == ys  # paired filenames

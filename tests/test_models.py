@@ -1,0 +1,117 @@
+"""Model-zoo tests: shapes, channel bookkeeping, differentiability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from admm_deconv_tpu.models import (
+    AdmmDenoiser,
+    Autoencoder,
+    DenoiserBank,
+    DeconvBank,
+    MultistageUpDownscale,
+    UpDownBlock,
+    DownBlock,
+    UpBlock,
+    build_model,
+    normalise,
+    relu1,
+    relu6,
+)
+
+
+def _x(rng, b=1, h=112, w=112, c=3):
+    return jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
+
+
+class TestBlocks:
+    def test_relu1_relu6(self):
+        v = jnp.asarray([-1.0, 0.5, 3.0, 7.0])
+        np.testing.assert_allclose(np.asarray(relu1(v)), [0, 0.5, 1, 1])
+        np.testing.assert_allclose(np.asarray(relu6(v)), [0, 0.5, 3, 6])
+
+    def test_normalise_per_image(self, rng):
+        x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32) * 5 + 2
+        out = normalise(x)
+        m = np.asarray(jnp.mean(out, axis=(1, 2, 3)))
+        s = np.asarray(jnp.std(out, axis=(1, 2, 3)))
+        np.testing.assert_allclose(m, 0, atol=1e-5)
+        np.testing.assert_allclose(s, 1, atol=1e-2)
+
+    def test_updownblock_preserves_size(self, rng):
+        x = _x(rng, h=32, w=32)
+        blk = UpDownBlock((5, 5), (5, 5), 8, 4)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(params, x)
+        assert out.shape == (1, 32, 32, 4)
+
+    def test_down_up_blocks(self, rng):
+        x = _x(rng, h=32, w=32)
+        d = DownBlock((5, 5), 8, (3, 3))
+        pd = d.init(jax.random.PRNGKey(0), x)
+        out_d = d.apply(pd, x)
+        assert out_d.shape == (1, 28, 28, 8)
+        u = UpBlock((5, 5), 8, (3, 3))
+        pu = u.init(jax.random.PRNGKey(0), out_d)
+        out_u = u.apply(pu, out_d)
+        assert out_u.shape == (1, 32, 32, 8)
+
+
+class TestZoo:
+    def test_denoiser_bank_channels(self, rng):
+        x = _x(rng, h=16, w=16)
+        m = DenoiserBank(iters=2)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out.shape == (1, 16, 16, 15)  # 5 branches x 3 channels
+        assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    def test_autoencoder_output(self, rng):
+        x = _x(rng)
+        m = Autoencoder()
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        # 128 final up features + 32 residual = 160 channels, size-preserving.
+        assert out.shape == (1, 112, 112, 160)
+
+    def test_admm_denoiser_flagship(self, rng):
+        x = _x(rng)
+        m = AdmmDenoiser(denoiser_iters=2)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out.shape == x.shape  # restores RGB at input size
+        assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    def test_admm_denoiser_differentiable(self, rng):
+        x = _x(rng, h=96, w=96)
+        target = _x(rng, h=96, w=96)
+        m = AdmmDenoiser(denoiser_iters=2)
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.mean((m.apply(p, x) - target) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    def test_multistage(self, rng):
+        x = _x(rng, h=48, w=48)
+        m = MultistageUpDownscale()
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out.shape[0] == 1 and out.shape[-1] == 32
+
+    def test_deconv_bank(self, rng):
+        x = _x(rng, h=32, w=32)
+        m = DeconvBank(iters=2)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out.shape == (1, 32, 32, 9)
+
+    def test_build_model_factory(self):
+        assert isinstance(build_model("admm_denoiser", {"use_iso": True}), AdmmDenoiser)
+        with pytest.raises(ValueError):
+            build_model("nope")

@@ -1,0 +1,106 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: batch sharding and
+exact spatially-tiled solving."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from admm_deconv_tpu.ops.solver import tv_deconvolve
+from admm_deconv_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    tiled_tv_deconvolve,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh({"tile": 8})
+
+
+def _img(rng, h=64, w=64):
+    img = np.zeros((h, w))
+    for _ in range(5):
+        r0, c0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+        r1, c1 = rng.integers(h // 2, h), rng.integers(w // 2, w)
+        img[r0:r1, c0:c1] += rng.random() * 0.3
+    return np.clip(img + 0.2, 0, 1).astype(np.float32)
+
+
+class TestMesh:
+    def test_device_count(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh({"data": 2, "tile": 4})
+        assert mesh.shape == {"data": 2, "tile": 4}
+        with pytest.raises(ValueError):
+            make_mesh({"data": 16})
+
+    def test_shard_batch(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.zeros((16, 8, 8, 3))
+        xs = shard_batch(x, mesh)
+        assert xs.sharding.spec == jax.sharding.PartitionSpec("data", None, None, None)
+
+    def test_replicate(self):
+        mesh = make_mesh({"data": 8})
+        tree = {"a": jnp.ones((4,)), "b": jnp.zeros((2, 2))}
+        rep = replicate(tree, mesh)
+        assert rep["a"].sharding.is_fully_replicated
+
+
+class TestTiledSolver:
+    """The tiled solve must be numerically identical to single-device."""
+
+    @pytest.mark.parametrize("use_psf", [False, True])
+    def test_matches_single_device(self, rng, mesh8, use_psf):
+        img = _img(rng)
+        psf = None
+        if use_psf:
+            psf = np.zeros((5, 5), np.float32)
+            psf[2, :] = 0.2
+        y = jnp.asarray(img)
+        expected = tv_deconvolve(y, psf=psf, lam=0.01, rho=0.05, iters=15)
+        got = tiled_tv_deconvolve(
+            y, psf=psf, lam=0.01, rho=0.05, iters=15, mesh=mesh8
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
+        )
+
+    def test_batched_multichannel(self, rng, mesh8):
+        imgs = np.stack([_img(rng), _img(rng)])[..., None].repeat(3, axis=-1)
+        y = jnp.asarray(imgs)
+        expected = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10)
+        got = tiled_tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10, mesh=mesh8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
+        )
+
+    def test_iso_prox(self, rng, mesh8):
+        img = _img(rng)
+        y = jnp.asarray(img)
+        expected = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10, prox="iso")
+        got = tiled_tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10, prox="iso", mesh=mesh8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
+        )
+
+    def test_adapt_rho_runs(self, rng, mesh8):
+        img = _img(rng)
+        got = tiled_tv_deconvolve(
+            jnp.asarray(img), None, lam=0.05, rho=5.0, iters=20, adapt_rho=True,
+            mesh=mesh8,
+        )
+        assert np.all(np.isfinite(np.asarray(got)))
+
+    def test_bad_shapes_rejected(self, rng, mesh8):
+        with pytest.raises(ValueError, match="divide"):
+            tiled_tv_deconvolve(jnp.zeros((60, 64)), mesh=mesh8)
+        with pytest.raises(ValueError, match="even"):
+            tiled_tv_deconvolve(jnp.zeros((64, 63)), mesh=mesh8)
+        with pytest.raises(ValueError, match="mesh"):
+            tiled_tv_deconvolve(jnp.zeros((64, 64)))

@@ -1,0 +1,156 @@
+"""Training harness tests: config, plateau schedule, end-to-end fit + resume."""
+
+import json
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from admm_deconv_tpu.layers import ADMMDeconvF2
+from admm_deconv_tpu.optim import ReduceLROnPlateau
+from admm_deconv_tpu.train import TrainConfig, Trainer, load_config, parse_args
+
+
+class TestConfig:
+    def test_reference_schema(self, tmp_path):
+        # The reference's exact train_cfg.json schema must load.
+        cfg_dict = {
+            "train_data": {"x_path": "/a/x", "y_path": "/a/y"},
+            "eval_data": {"x_path": "/b/x", "y_path": "/b/y"},
+            "batch_size": 2,
+            "im_shape": [256, 256],
+            "epochs": 130,
+            "lr_rate": 1e-1,
+            "use_iso": True,
+            "branches": 2,
+            "model_save_path": "/models_weights",
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(cfg_dict))
+        cfg = load_config(str(p))
+        assert cfg.train_x_path == "/a/x"
+        assert cfg.im_shape == (256, 256)
+        assert cfg.use_iso is True
+        assert cfg.epochs == 130
+
+    def test_wrong_extension_rejected(self, tmp_path):
+        p = tmp_path / "cfg.yaml"
+        p.write_text("{}")
+        with pytest.raises(ValueError, match="wrong file extension"):
+            load_config(str(p))
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            TrainConfig(batch_size=0)
+        with pytest.raises(ValueError):
+            TrainConfig(lr_rate=-1)
+
+    def test_cli_defaults(self):
+        args = parse_args([])
+        assert args.cfg_fname == "train_cfg.json"
+        assert args.model_name == "admm-tv_restorer"
+
+
+class TestPlateau:
+    def test_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(1.0, patience=3, factor=0.5)
+        assert sched.step(1.0) == 1.0
+        for _ in range(2):
+            assert sched.step(1.0) == 1.0
+        assert sched.step(1.0) == 0.5  # third non-improving epoch
+
+    def test_improvement_resets(self):
+        sched = ReduceLROnPlateau(1.0, patience=2, factor=0.5, tolerance=0.01)
+        sched.step(1.0)
+        sched.step(0.5)  # improves
+        sched.step(0.5)
+        assert sched.step(0.5) == 0.5  # 2 flat epochs -> reduce
+
+    def test_negative_losses(self):
+        # The reference's abs() plateau test breaks for negative losses.
+        sched = ReduceLROnPlateau(1.0, patience=2, factor=0.5)
+        sched.step(-1.0)
+        sched.step(-2.0)  # improvement
+        assert sched.counter == 0
+
+    def test_min_lr(self):
+        sched = ReduceLROnPlateau(1.0, patience=1, factor=0.9, min_lr=0.5)
+        sched.step(1.0)
+        sched.step(1.0)
+        sched.step(1.0)
+        assert sched.lr == 0.5
+
+
+def _toy_loaders(rng, n=4, hw=16):
+    xs = rng.random((n, hw, hw, 3)).astype(np.float32)
+    ys = np.clip(xs + 0.05, 0, 1).astype(np.float32)
+    batch = [(xs[i : i + 2], ys[i : i + 2]) for i in range(0, n, 2)]
+    return batch, batch
+
+
+class TestTrainer:
+    def _make(self, tmp_path, **cfg_kwargs):
+        defaults = dict(
+            batch_size=2,
+            im_shape=(16, 16),
+            epochs=2,
+            lr_rate=1e-2,
+            loss="mse",
+            optimizer="adam",
+            save_dir=str(tmp_path),
+            plateau_patience=2,
+        )
+        defaults.update(cfg_kwargs)
+        cfg = TrainConfig(**defaults)
+        model = ADMMDeconvF2((), 4, 0.5)
+        return Trainer(model, cfg), cfg
+
+    def test_fit_improves_loss_and_writes_history(self, tmp_path, rng):
+        trainer, cfg = self._make(tmp_path)
+        train_l, eval_l = _toy_loaders(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        logs = []
+        state = trainer.fit(
+            state, train_l, eval_l, epochs=3, log_fn=logs.append
+        )
+        assert int(state.step) == 6  # 2 batches x 3 epochs
+        hist = os.path.join(cfg.save_dir, cfg.model_name, "train_eval_metrics_history.csv")
+        assert os.path.exists(hist)
+        lines = open(hist).read().strip().splitlines()
+        assert len(lines) == 4  # header + 3 epochs
+        assert "train_loss" in lines[0] and "eval_psnr" in lines[0]
+
+    def test_checkpoint_and_resume(self, tmp_path, rng):
+        trainer, cfg = self._make(tmp_path)
+        train_l, eval_l = _toy_loaders(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        state = trainer.fit(state, train_l, eval_l, epochs=2, log_fn=lambda s: None)
+
+        # Fresh trainer resumes from epoch 2.
+        trainer2, _ = self._make(tmp_path)
+        template = trainer2.init_state(jax.random.PRNGKey(1), train_l[0][0])
+        restored, start = trainer2.restore_latest(
+            os.path.join(cfg.save_dir, cfg.model_name), template
+        )
+        assert start == 2
+        np.testing.assert_allclose(
+            np.asarray(restored.params["params"]["lam"]),
+            np.asarray(state.params["params"]["lam"]),
+        )
+
+    def test_lr_injection(self, tmp_path, rng):
+        trainer, _ = self._make(tmp_path)
+        train_l, _ = _toy_loaders(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        state = trainer._set_lr(state, 1e-5)
+        assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+    def test_gmsd_and_ssim_losses_run(self, tmp_path, rng):
+        for loss in ("gmsd", "ssim"):
+            trainer, _ = self._make(tmp_path, loss=loss)
+            train_l, eval_l = _toy_loaders(rng)
+            state = trainer.init_state(jax.random.PRNGKey(0), train_l[0][0])
+            trainer.fit(state, train_l[:1], eval_l[:1], epochs=1, log_fn=lambda s: None)

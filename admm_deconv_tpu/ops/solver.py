@@ -49,6 +49,20 @@ import jax.numpy as jnp
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
+from admm_deconv_tpu.ops.fft_mxu import irfft2_mxu, rfft2_mxu
+
+# FFT execution modes for the x-update:
+#   "xla"         — jnp.fft (XLA FftOp); exact fp32 but slow on TPU.
+#   "mxu"         — DFT-by-matmul on the MXU at HIGH precision (bf16x3);
+#                   ~2x faster on TPU v5e, ~1e-4 relative error.
+#   "mxu_precise" — DFT-by-matmul at HIGHEST precision (bf16x6, fp32-exact).
+_FFT_MODES = ("xla", "mxu", "mxu_precise")
+
+
+def _fft_precision(fft_mode: str):
+    return (
+        jax.lax.Precision.HIGH if fft_mode == "mxu" else jax.lax.Precision.HIGHEST
+    )
 
 
 class ADMMState(NamedTuple):
@@ -115,8 +129,12 @@ def _fold_param(p, b: int, c: int, dtype) -> jnp.ndarray:
     return p[:, None, None]
 
 
-def _prepare(y, psf, lam, rho):
-    """Shared precompute: folding, OTF, spectra, cached rhs."""
+def _prepare(y, psf, lam, rho, fft_mode="xla"):
+    """Shared precompute: folding, OTF, spectra, cached rhs.
+
+    ``b_f`` (the cached ``rfft2(H^T y)``) is a complex array in "xla" mode
+    and a ``(re, im)`` pair of real arrays in the MXU modes.
+    """
     y4, _ = _normalize_input(y)
     b, h, w, c = y4.shape
     dtype = y4.dtype
@@ -130,20 +148,32 @@ def _prepare(y, psf, lam, rho):
     if psf is None or (hasattr(psf, "size") and psf.size == 0):
         # Pure TV denoising: H = identity (reference `src/ops/ops.jl:22,67-69`).
         denom_h = jnp.ones((), dtype=dtype)
-        b_f = y_hat
+        b_c = y_hat
     else:
         psf = jnp.asarray(psf, dtype=dtype)
         if psf.ndim != 2:
             psf = psf.reshape(psf.shape[0], psf.shape[1])
         otf = psf_to_otf(psf, (h, w))
         denom_h = jnp.abs(otf) ** 2
-        b_f = jnp.conj(otf) * y_hat
+        b_c = jnp.conj(otf) * y_hat
+    b_f = b_c if fft_mode == "xla" else (jnp.real(b_c), jnp.imag(b_c))
     return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
 
 
-def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds):
+def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
     q = grad2d_adjoint(zx - ux, zy - uy)
-    x = jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    if fft_mode == "xla":
+        x = jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    else:
+        prec = _fft_precision(fft_mode)
+        br, bi = b_f
+        qr, qi = rfft2_mxu(q, precision=prec)
+        x = irfft2_mxu(
+            c_spec * (br + rho * qr),
+            c_spec * (bi + rho * qi),
+            (h, w),
+            precision=prec,
+        )
     if x_bounds is not None:
         x = jnp.clip(x, x_bounds[0], x_bounds[1])
     return x
@@ -151,7 +181,14 @@ def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "prox", "x_bounds", "return_diagnostics", "remat"),
+    static_argnames=(
+        "iters",
+        "prox",
+        "x_bounds",
+        "return_diagnostics",
+        "remat",
+        "fft_mode",
+    ),
 )
 def tv_deconvolve(
     y: jnp.ndarray,
@@ -163,6 +200,7 @@ def tv_deconvolve(
     x_bounds: tuple[float, float] | None = None,
     return_diagnostics: bool = False,
     remat: bool = False,
+    fft_mode: str = "xla",
 ):
     """Fixed-iteration ADMM TV deconvolution (differentiable).
 
@@ -186,10 +224,14 @@ def tv_deconvolve(
     Returns:
       Restored image(s) with the input's shape, or ``(x, ADMMDiagnostics)``.
     """
+    if fft_mode not in _FFT_MODES:
+        raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     prox_fn = prox_lib.resolve(prox)
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
-    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(y, psf, lam, rho)
+    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
+        y, psf, lam, rho, fft_mode
+    )
     tau = lam_f / rho_f
     c_spec = 1.0 / (denom_h + rho_f * lap)
 
@@ -199,7 +241,17 @@ def tv_deconvolve(
 
     def body(state: ADMMState, _):
         x = _x_update(
-            b_f, c_spec, rho_f, state.zx, state.zy, state.ux, state.uy, h, w, x_bounds
+            b_f,
+            c_spec,
+            rho_f,
+            state.zx,
+            state.zy,
+            state.ux,
+            state.uy,
+            h,
+            w,
+            x_bounds,
+            fft_mode,
         )
         dxx, dxy = grad2d(x)
         zx, zy, ux, uy = prox_lib.prox_dual_step(
@@ -242,6 +294,7 @@ def tv_deconvolve(
         "x_bounds",
         "adapt_rho",
         "check_every",
+        "fft_mode",
     ),
 )
 def tv_deconvolve_adaptive(
@@ -258,6 +311,7 @@ def tv_deconvolve_adaptive(
     mu: float = 10.0,
     tau_scale: float = 2.0,
     check_every: int = 1,
+    fft_mode: str = "xla",
 ):
     """ADMM with per-image residual-balanced rho and early stopping.
 
@@ -271,10 +325,14 @@ def tv_deconvolve_adaptive(
 
     Returns ``(x, ADMMDiagnostics)``.
     """
+    if fft_mode not in _FFT_MODES:
+        raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     prox_fn = prox_lib.resolve(prox)
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
-    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(y, psf, lam, rho)
+    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
+        y, psf, lam, rho, fft_mode
+    )
     n = b * c
     rho0 = jnp.ones((n, 1, 1), dtype=y_f.dtype) * rho_f
     lam0 = jnp.ones((n, 1, 1), dtype=y_f.dtype) * lam_f
@@ -290,7 +348,17 @@ def tv_deconvolve_adaptive(
         state, rho_cur, it, _ = carry
         c_spec = 1.0 / (denom_h + rho_cur * lap)
         x = _x_update(
-            b_f, c_spec, rho_cur, state.zx, state.zy, state.ux, state.uy, h, w, x_bounds
+            b_f,
+            c_spec,
+            rho_cur,
+            state.zx,
+            state.zy,
+            state.ux,
+            state.uy,
+            h,
+            w,
+            x_bounds,
+            fft_mode,
         )
         dxx, dxy = grad2d(x)
         tau = lam0 / rho_cur

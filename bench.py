@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from admm_deconv_tpu.ops.solver import tv_deconvolve
 
 # Round-1 self-established baseline on one TPU v5e chip (iters/s, this exact
-# workload).  The reference repo publishes no benchmark numbers to compare to.
-BASELINE_ITERS_PER_S = 330.0
+# workload, XLA-FFT solver path).  The reference repo publishes no benchmark
+# numbers to compare to (BASELINE.md).
+BASELINE_ITERS_PER_S = 45.9
 
 BATCH, H, W, C = 4, 1080, 1920, 3
 ITERS = 50
@@ -42,19 +43,26 @@ def make_inputs():
 def main():
     y, psf = make_inputs()
 
-    def solve(y):
-        return tv_deconvolve(y, psf=psf, lam=0.0041, rho=0.021, iters=ITERS)
+    # The MXU DFT-by-matmul path is ~2x the XLA-FFT path on TPU.
+    fft_mode = "mxu" if jax.default_backend() != "cpu" else "xla"
 
-    # Warmup / compile.
-    solve(y).block_until_ready()
+    def solve(y):
+        return tv_deconvolve(
+            y, psf=psf, lam=0.0041, rho=0.021, iters=ITERS, fft_mode=fft_mode
+        )
+
+    # Warmup / compile.  NOTE: on the axon TPU backend block_until_ready
+    # returns before device completion (async dispatch queue), so all timing
+    # below forces completion with a host scalar fetch instead.
+    float(jnp.sum(solve(y)))
 
     # Fresh input each repeat so results cannot be cached or CSE'd.
     inputs = [y + 0.001 * i for i in range(REPEATS)]
     for inp in inputs:
-        inp.block_until_ready()
+        float(inp[0, 0, 0, 0])
     t0 = time.perf_counter()
     for inp in inputs:
-        solve(inp).block_until_ready()
+        float(jnp.sum(solve(inp)))
     elapsed = time.perf_counter() - t0
 
     iters_per_s = ITERS * REPEATS / elapsed

@@ -2,7 +2,11 @@
 
 from admm_deconv_tpu.data.imageio import load_image, save_image, img_to_tensor, tensor_to_img
 from admm_deconv_tpu.data.feeder import ImageDataFeeder, DataLoader
-from admm_deconv_tpu.data.dataset import add_awgn, generate_awgn_dataset
+from admm_deconv_tpu.data.dataset import (
+    add_awgn,
+    add_poisson_gaussian,
+    generate_awgn_dataset,
+)
 
 __all__ = [
     "load_image",
@@ -12,5 +16,6 @@ __all__ = [
     "ImageDataFeeder",
     "DataLoader",
     "add_awgn",
+    "add_poisson_gaussian",
     "generate_awgn_dataset",
 ]

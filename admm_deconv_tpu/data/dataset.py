@@ -32,6 +32,21 @@ def add_awgn(
     return np.clip(noisy / max_val, 0.0, 1.0).astype(np.float32)
 
 
+def add_poisson_gaussian(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    peak: float = 255.0,
+    sigma: float = 10.0,
+    max_val: float = 255.0,
+) -> np.ndarray:
+    """Poisson-Gaussian degradation (BASELINE config 3's noise model; no
+    reference counterpart): shot noise at ``peak`` photons for a unit-signal
+    pixel plus AWGN of std ``sigma`` at ``max_val`` scale, clamped."""
+    shot = rng.poisson(np.clip(img, 0.0, 1.0) * peak).astype(np.float64) / peak
+    noisy = shot * max_val + sigma * rng.standard_normal(img.shape)
+    return np.clip(noisy / max_val, 0.0, 1.0).astype(np.float32)
+
+
 def generate_awgn_dataset(
     src_dir: str,
     dest_dir: str,

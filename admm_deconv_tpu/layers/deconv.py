@@ -59,6 +59,7 @@ class ADMMDeconv(nn.Module):
       trainable: subset of {"weight", "bias", "lam", "rho"} receiving
         gradients; the rest are stop-gradient'ed (frozen).
       remat: rematerialize the unrolled loop under autodiff.
+      fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise").
     """
 
     kernel_shape: Sequence[int] = ()
@@ -71,6 +72,7 @@ class ADMMDeconv(nn.Module):
     rho_init: float | None = None
     trainable: Sequence[str] = ("weight", "bias", "lam", "rho")
     remat: bool = False
+    fft_mode: str = "xla"
 
     def _maybe_stop(self, name: str, value: jnp.ndarray) -> jnp.ndarray:
         if name in self.trainable:
@@ -123,6 +125,7 @@ class ADMMDeconv(nn.Module):
             iters=self.iters,
             prox="iso" if self.iso else "aniso",
             remat=self.remat,
+            fft_mode=self.fft_mode,
         )
 
         if self.use_bias:

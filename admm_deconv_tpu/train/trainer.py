@@ -36,6 +36,7 @@ from flax import struct
 from admm_deconv_tpu.metrics import gmsd_loss, peak_snr, ssim_loss
 from admm_deconv_tpu.optim.plateau import ReduceLROnPlateau
 from admm_deconv_tpu.train.config import TrainConfig
+from admm_deconv_tpu.train.logging import TensorBoardLogger
 
 try:
     import orbax.checkpoint as ocp
@@ -203,6 +204,7 @@ class Trainer:
         model_dir: str | None = None,
         log_fn: Callable[[str], None] = print,
         resume: bool = False,
+        tensorboard: bool = False,
     ) -> TrainState:
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
@@ -210,6 +212,7 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
         history_path = os.path.join(model_dir, "train_eval_metrics_history.csv")
         manager = self._ckpt_manager(model_dir)
+        tb = TensorBoardLogger(os.path.join(model_dir, "logging")) if tensorboard else None
 
         start_epoch = 0
         if resume:
@@ -260,6 +263,13 @@ class Trainer:
                 writer.writeheader()
                 writer.writerows(history)
 
+            if tb is not None:
+                tb.log_scalars(train_metrics, epoch, prefix="train/")
+                tb.log_scalars(eval_metrics, epoch, prefix="eval/")
+                tb.log_scalars({"lr": new_lr}, epoch)
+                tb.log_histograms(state.params, epoch)
+                tb.flush()
+
             if (epoch + 1) % cfg.checkpoint_every == 0 or val_loss < best_val_loss:
                 self.save_checkpoint(manager, state, epoch)
             if val_loss < best_val_loss:
@@ -273,4 +283,6 @@ class Trainer:
                 + f" | lr={new_lr:.2e} ({row['seconds']:.1f}s)"
             )
 
+        if tb is not None:
+            tb.close()
         return state

@@ -1,0 +1,17 @@
+"""Utilities: array helpers, 3-D differences, profiling, debug flags."""
+
+from admm_deconv_tpu.utils.arrays import expand_dims, fftn_matlike
+from admm_deconv_tpu.utils.diff3d import forward_diff3d, divergence3d
+from admm_deconv_tpu.utils.profiling import IterationTimer, trace_annotation
+from admm_deconv_tpu.utils.debug import enable_nan_checks, deterministic_mode
+
+__all__ = [
+    "expand_dims",
+    "fftn_matlike",
+    "forward_diff3d",
+    "divergence3d",
+    "IterationTimer",
+    "trace_annotation",
+    "enable_nan_checks",
+    "deterministic_mode",
+]

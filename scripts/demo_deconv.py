@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""End-to-end solver demo — the reference's ``src/tests/admm_deconv_test.jl``
+scenario: blur test images with a 7x7 horizontal motion PSF, deconvolve with
+lam=0.0041, rho=0.021, anisotropic TV, 100 iterations, save before/after
+PNGs and print SSIM/PSNR deltas.
+
+The reference pulls fabio/lena/monarch from TestImages.jl; this environment
+has no network, so ``--src`` accepts any images (synthetic edge-rich frames
+are generated when omitted).
+
+Usage::
+
+    python scripts/demo_deconv.py [--src DIR] [--out DIR] [--adaptive]
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+import admm_deconv_tpu as adt
+from admm_deconv_tpu.data import load_image, save_image
+
+
+def synthetic_images(n=3, size=256, seed=0):
+    """Edge-rich piecewise-constant RGB frames in [0, 1]."""
+    rng = np.random.default_rng(seed)
+    imgs = []
+    for _ in range(n):
+        img = np.full((size, size, 3), 0.2, np.float32)
+        for _ in range(12):
+            r0, c0 = rng.integers(0, size // 2, 2)
+            r1, c1 = rng.integers(size // 2, size, 2)
+            img[r0:r1, c0:c1] += rng.random(3).astype(np.float32) * 0.25
+        imgs.append(np.clip(img, 0, 1))
+    return imgs
+
+
+def motion_psf(k=7):
+    psf = np.zeros((k, k), np.float32)
+    psf[k // 2, :] = 1.0 / k
+    return psf
+
+
+def blur_circular(img, psf):
+    """Centered circular convolution (the blur model the solver inverts)."""
+    kh, kw = psf.shape
+    ch, cw = (kh - 1) // 2, (kw - 1) // 2
+    out = np.zeros_like(img)
+    for a in range(kh):
+        for b in range(kw):
+            if psf[a, b]:
+                out += psf[a, b] * np.roll(img, (a - ch, b - cw), axis=(0, 1))
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--src", help="directory of input images (default: synthetic)")
+    p.add_argument("--out", default="demo_out", help="output directory")
+    p.add_argument("--lam", type=float, default=0.0041)
+    p.add_argument("--rho", type=float, default=0.021)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--iso", action="store_true", help="isotropic TV")
+    p.add_argument("--adaptive", action="store_true", help="adaptive rho + early stop")
+    args = p.parse_args(argv)
+
+    if args.src:
+        paths = sorted(glob.glob(os.path.join(args.src, "*")))[:8]
+        imgs = [load_image(path) for path in paths]
+    else:
+        imgs = synthetic_images()
+    os.makedirs(args.out, exist_ok=True)
+
+    psf = motion_psf(7)
+    blurred = [blur_circular(img, psf) for img in imgs]
+    for i, (orig, blur) in enumerate(zip(imgs, blurred)):
+        save_image(os.path.join(args.out, f"orig{i + 1}.png"), orig)
+        save_image(os.path.join(args.out, f"blurred{i + 1}.png"), blur)
+
+    batch = jnp.asarray(np.stack(blurred))
+    ref = jnp.asarray(np.stack(imgs))
+    prox = "iso" if args.iso else "aniso"
+
+    t0 = time.time()
+    if args.adaptive:
+        restored, diag = adt.tv_deconvolve_adaptive(
+            batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
+            max_iters=args.iters * 3, prox=prox,
+        )
+        extra = f" (adaptive: {int(diag.iterations)} iters, rho[0]={float(diag.rho[0]):.4f})"
+    else:
+        restored = adt.tv_deconvolve(
+            batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
+            iters=args.iters, prox=prox,
+        )
+        extra = ""
+    restored = jnp.clip(restored, 0.0, 1.0)
+    elapsed = time.time() - t0
+
+    for i in range(restored.shape[0]):
+        save_image(os.path.join(args.out, f"restored{i + 1}.png"), np.asarray(restored[i]))
+
+    print(f"solver wall clock (incl. compile): {elapsed:.2f}s{extra}")
+    for i in range(restored.shape[0]):
+        b, r, o = batch[i : i + 1], restored[i : i + 1], ref[i : i + 1]
+        print(
+            f"image {i + 1}: SSIM {float(adt.ssim(b, o)):.4f} -> "
+            f"{float(adt.ssim(r, o)):.4f}   PSNR {float(adt.peak_snr(b, o)):.2f} -> "
+            f"{float(adt.peak_snr(r, o)):.2f} dB"
+        )
+    print(f"mean restored SSIM: {float(adt.ssim(restored, ref)):.4f}")
+    print("ADMM demo finished with no errors!")
+
+
+if __name__ == "__main__":
+    main()

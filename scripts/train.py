@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Training entry point — the reference's ``julia src/train.jl -c cfg -n name``
+(``src/train.jl:177-196``) as a CLI over the TPU trainer.
+
+Usage::
+
+    python scripts/train.py -c configs/train_cfg.json -n my_model
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from admm_deconv_tpu.data import DataLoader, ImageDataFeeder
+from admm_deconv_tpu.models import build_model
+from admm_deconv_tpu.train import Trainer, load_config, parse_args
+
+
+def get_dataloaders(cfg, rng):
+    shape = cfg.im_shape
+    train_feeder = ImageDataFeeder(
+        cfg.train_x_path, cfg.train_y_path, ".png", shape, shape, rng=rng
+    )
+    eval_feeder = ImageDataFeeder(
+        cfg.eval_x_path, cfg.eval_y_path, ".png", shape, shape, rng=rng
+    )
+    train_loader = DataLoader(
+        train_feeder, batch_size=cfg.batch_size, shuffle=True, rng=rng
+    )
+    eval_loader = DataLoader(eval_feeder, batch_size=cfg.batch_size, rng=rng)
+    return train_loader, eval_loader
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg_path = args.cfg_fname
+    if not os.path.isabs(cfg_path) and not os.path.exists(cfg_path):
+        cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", cfg_path)
+    print(f"Loading config {cfg_path}")
+    cfg = load_config(cfg_path)
+    cfg.model_name = args.model_name
+
+    rng = np.random.default_rng(cfg.seed)
+    print("Initializing data feeders")
+    train_loader, eval_loader = get_dataloaders(cfg, rng)
+    if len(train_loader.dataset) == 0:
+        raise SystemExit("no training images found — check the config data paths")
+
+    print(f"Building model {cfg.model}")
+    model = build_model(cfg.model, {"use_iso": cfg.use_iso})
+    trainer = Trainer(model, cfg)
+
+    sample_x, _ = next(iter(train_loader))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample_x)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    print(f"MODEL SIZE (#parameters): {n_params:,}")
+
+    print("Proceeding with training")
+    trainer.fit(state, train_loader, eval_loader, resume=True, tensorboard=True)
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()

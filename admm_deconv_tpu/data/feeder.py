@@ -25,7 +25,13 @@ from admm_deconv_tpu.data.imageio import load_image
 
 
 class ImageDataFeeder:
-    """Paired (degraded x, clean y) image dataset with aligned random crops."""
+    """Paired (degraded x, clean y) image dataset with aligned random crops.
+
+    ``backend="auto"`` uses the native C++ loader (libpng decode + threaded
+    crop/batch assembly, ``native/imagefeeder.cpp``) when it is buildable and
+    the request fits its fast path (PNG, equal fixed x/y crop shapes),
+    falling back to the PIL path otherwise.
+    """
 
     def __init__(
         self,
@@ -35,6 +41,7 @@ class ImageDataFeeder:
         x_shape: tuple[int, int] | None = None,
         y_shape: tuple[int, int] | None = None,
         rng: np.random.Generator | None = None,
+        backend: str = "auto",
     ):
         self.x_paths = sorted(globlib.glob(os.path.join(x_dir, "*" + extension)))
         self.y_paths = sorted(globlib.glob(os.path.join(y_dir, "*" + extension)))
@@ -46,6 +53,31 @@ class ImageDataFeeder:
         self.x_shape = x_shape
         self.y_shape = y_shape
         self.rng = rng if rng is not None else np.random.default_rng()
+        if backend not in ("auto", "native", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._native_ok = None  # resolved lazily
+
+    def _use_native(self) -> bool:
+        if self.backend == "pil":
+            return False
+        if not (
+            self.x_shape is not None
+            and self.x_shape == self.y_shape
+            and all(p.endswith(".png") for p in self.x_paths[:1] + self.y_paths[:1])
+        ):
+            if self.backend == "native":
+                raise RuntimeError(
+                    "native backend requires equal fixed x/y crop shapes and PNGs"
+                )
+            return False
+        if self._native_ok is None:
+            from admm_deconv_tpu.data import native
+
+            self._native_ok = native.available()
+            if self.backend == "native" and not self._native_ok:
+                raise RuntimeError("native image loader could not be built")
+        return bool(self._native_ok)
 
     def __len__(self) -> int:
         return len(self.y_paths)
@@ -75,7 +107,23 @@ class ImageDataFeeder:
     def __getitem__(self, idxs) -> tuple[np.ndarray, np.ndarray]:
         if np.isscalar(idxs):
             idxs = [int(idxs)]
-        pairs = [self._get_pair(int(i)) for i in idxs]
+        idxs = [int(i) for i in idxs]
+        if self._use_native():
+            from admm_deconv_tpu.data import native
+
+            try:
+                return native.load_pair_batch(
+                    [self.x_paths[i] for i in idxs],
+                    [self.y_paths[i] for i in idxs],
+                    self.y_shape[0],
+                    self.y_shape[1],
+                    int(self.rng.integers(0, 2**63)),
+                )
+            except IOError as e:
+                # e.g. crop larger than some image: the PIL path handles the
+                # whole-image fallback with a warning.
+                warnings.warn(f"native loader fell back to PIL: {e}")
+        pairs = [self._get_pair(i) for i in idxs]
         batch_x = np.stack([p[0] for p in pairs], axis=0)
         batch_y = np.stack([p[1] for p in pairs], axis=0)
         return batch_x, batch_y

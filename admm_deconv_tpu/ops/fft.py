@@ -65,7 +65,7 @@ def psf_to_otf(psf: jnp.ndarray, image_shape: tuple[int, int]) -> jnp.ndarray:
 
 
 def laplacian_spectrum(
-    image_shape: tuple[int, int], dtype=jnp.float32
+    image_shape: tuple[int, int], dtype=jnp.float32, full: bool = False
 ) -> jnp.ndarray:
     """``|Lambda_x|^2 + |Lambda_y|^2`` for circular backward differences.
 
@@ -74,11 +74,28 @@ def laplacian_spectrum(
     FFT-ing full-size filter images.
 
     Returns:
-      Real array of shape ``(H, W // 2 + 1)``.
+      Real array of shape ``(H, W // 2 + 1)``, or ``(H, W)`` with
+      ``full=True`` (all W bins, for full-C2C transform paths).
     """
     h, w = image_shape
     # rfft frequencies: rows are full DFT bins, cols only the first w//2+1.
     fy = np.sin(np.pi * np.arange(h) / h) ** 2
-    fx = np.sin(np.pi * np.arange(w // 2 + 1) / w) ** 2
+    wcols = np.arange(w) if full else np.arange(w // 2 + 1)
+    fx = np.sin(np.pi * wcols / w) ** 2
     lap = 4.0 * (fy[:, None] + fx[None, :])
     return jnp.asarray(lap, dtype=dtype)
+
+
+def psf_to_otf_full(psf: jnp.ndarray, image_shape: tuple[int, int]) -> jnp.ndarray:
+    """Full-grid OTF (all W bins): ``fft2`` of the centered embedded PSF.
+
+    The ``(H, W)`` counterpart of :func:`psf_to_otf` for full-C2C paths.
+    """
+    h, w = image_shape
+    kh, kw = psf.shape
+    if kh > h or kw > w:
+        raise ValueError(f"PSF {psf.shape} larger than image {image_shape}")
+    ch, cw = psf_center((kh, kw))
+    padded = jnp.zeros((h, w), dtype=psf.dtype).at[:kh, :kw].set(psf)
+    padded = jnp.roll(padded, shift=(-ch, -cw), axis=(0, 1))
+    return jnp.fft.fft2(padded)

@@ -48,21 +48,68 @@ import jax.numpy as jnp
 
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
-from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
+from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf, psf_to_otf_full
+from admm_deconv_tpu.ops.fft_factored import real_filter2d_packed, spectrum_to_layout
 from admm_deconv_tpu.ops.fft_mxu import irfft2_mxu, rfft2_mxu
 
 # FFT execution modes for the x-update:
-#   "xla"         — jnp.fft (XLA FftOp); exact fp32 but slow on TPU.
-#   "mxu"         — DFT-by-matmul on the MXU at HIGH precision (bf16x3);
-#                   ~2x faster on TPU v5e, ~1e-4 relative error.
-#   "mxu_precise" — DFT-by-matmul at HIGHEST precision (bf16x6, fp32-exact).
-_FFT_MODES = ("xla", "mxu", "mxu_precise")
+#   "xla"          — jnp.fft (XLA FftOp); exact fp32 but slow on TPU.
+#   "mxu"          — full DFT-by-matmul on the MXU at HIGH precision
+#                    (bf16x3); ~2x faster on TPU v5e, ~1e-4 relative error.
+#   "mxu_precise"  — DFT-by-matmul at HIGHEST precision (bf16x6, fp32-exact).
+#   "pack"         — four-step factored C2C with complex plane packing
+#                    (fastest; requires scalar rho), HIGH precision.
+#   "pack_precise" — the same at HIGHEST precision.
+_FFT_MODES = ("xla", "mxu", "mxu_precise", "pack", "pack_precise")
 
 
 def _fft_precision(fft_mode: str):
     return (
-        jax.lax.Precision.HIGH if fft_mode == "mxu" else jax.lax.Precision.HIGHEST
+        jax.lax.Precision.HIGH
+        if fft_mode in ("mxu", "pack")
+        else jax.lax.Precision.HIGHEST
     )
+
+
+# Canonical prox-mode names for the Pallas fused kernel.
+_PALLAS_PROX_MODES = {
+    "aniso": "aniso",
+    "soft": "aniso",
+    "iso": "iso",
+    "block": "iso",
+    "hard": "hard",
+    "gauss": "gauss",
+}
+
+
+def _make_prox_step(prox, prox_impl, tau):
+    """Return a (dxx, dxy, ux, uy) -> (zx, zy, ux', uy') step function.
+
+    ``prox_impl="pallas"`` uses the fused one-pass TPU kernel when the prox
+    is a named operator and ``tau`` is scalar; anything else falls back to
+    the fused-by-XLA jnp composition.
+    """
+    if (
+        prox_impl == "pallas"
+        and isinstance(prox, str)
+        and prox in _PALLAS_PROX_MODES
+        and jnp.ndim(tau) == 0
+    ):
+        from admm_deconv_tpu.ops.pallas.prox_kernels import fused_prox_dual
+
+        mode = _PALLAS_PROX_MODES[prox]
+
+        def step(dxx, dxy, ux, uy):
+            return fused_prox_dual(dxx, dxy, ux, uy, tau, mode=mode)
+
+        return step
+
+    prox_fn = prox_lib.resolve(prox)
+
+    def step(dxx, dxy, ux, uy):
+        return prox_lib.prox_dual_step(dxx, dxy, ux, uy, tau, prox_fn)
+
+    return step
 
 
 class ADMMState(NamedTuple):
@@ -143,16 +190,40 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
     lam_f = _fold_param(lam, b, c, dtype)
     rho_f = _fold_param(rho, b, c, dtype)
 
+    packed = fft_mode in ("pack", "pack_precise")
+    if packed and rho_f.ndim != 0:
+        raise ValueError(
+            "fft_mode='pack' packs plane pairs through one complex transform, "
+            "which requires a single (scalar) rho; use 'mxu' for per-image rho"
+        )
+
+    no_psf = psf is None or (hasattr(psf, "size") and psf.size == 0)
+    if not no_psf:
+        psf = jnp.asarray(psf, dtype=dtype)
+        if psf.ndim != 2:
+            psf = psf.reshape(psf.shape[0], psf.shape[1])
+
+    if packed:
+        # Full-grid spectra, pre-permuted into the four-step bin layout, and
+        # the rhs cached SPATIALLY: x = IFFT(C . FFT(H^T y + rho q)).
+        lap = spectrum_to_layout(laplacian_spectrum((h, w), dtype=dtype, full=True))
+        if no_psf:
+            denom_h = jnp.ones((), dtype=dtype)
+            b_f = y_f
+        else:
+            otf_full = psf_to_otf_full(psf, (h, w))
+            denom_h = spectrum_to_layout(jnp.abs(otf_full) ** 2)
+            otf = psf_to_otf(psf, (h, w))
+            b_f = jnp.fft.irfft2(jnp.conj(otf) * jnp.fft.rfft2(y_f), s=(h, w))
+        return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
+
     lap = laplacian_spectrum((h, w), dtype=dtype)
     y_hat = jnp.fft.rfft2(y_f)
-    if psf is None or (hasattr(psf, "size") and psf.size == 0):
+    if no_psf:
         # Pure TV denoising: H = identity (reference `src/ops/ops.jl:22,67-69`).
         denom_h = jnp.ones((), dtype=dtype)
         b_c = y_hat
     else:
-        psf = jnp.asarray(psf, dtype=dtype)
-        if psf.ndim != 2:
-            psf = psf.reshape(psf.shape[0], psf.shape[1])
         otf = psf_to_otf(psf, (h, w))
         denom_h = jnp.abs(otf) ** 2
         b_c = jnp.conj(otf) * y_hat
@@ -164,6 +235,11 @@ def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
     q = grad2d_adjoint(zx - ux, zy - uy)
     if fft_mode == "xla":
         x = jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    elif fft_mode in ("pack", "pack_precise"):
+        # b_f is the spatial H^T y cache; c_spec is in the four-step layout.
+        x = real_filter2d_packed(
+            b_f + rho * q, c_spec, precision=_fft_precision(fft_mode)
+        )
     else:
         prec = _fft_precision(fft_mode)
         br, bi = b_f
@@ -188,6 +264,7 @@ def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
         "return_diagnostics",
         "remat",
         "fft_mode",
+        "prox_impl",
     ),
 )
 def tv_deconvolve(
@@ -201,6 +278,7 @@ def tv_deconvolve(
     return_diagnostics: bool = False,
     remat: bool = False,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
 ):
     """Fixed-iteration ADMM TV deconvolution (differentiable).
 
@@ -226,13 +304,13 @@ def tv_deconvolve(
     """
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
-    prox_fn = prox_lib.resolve(prox)
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
     y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
         y, psf, lam, rho, fft_mode
     )
     tau = lam_f / rho_f
+    prox_step = _make_prox_step(prox, prox_impl, tau)
     c_spec = 1.0 / (denom_h + rho_f * lap)
 
     n = b * c
@@ -254,9 +332,7 @@ def tv_deconvolve(
             fft_mode,
         )
         dxx, dxy = grad2d(x)
-        zx, zy, ux, uy = prox_lib.prox_dual_step(
-            dxx, dxy, state.ux, state.uy, tau, prox_fn
-        )
+        zx, zy, ux, uy = prox_step(dxx, dxy, state.ux, state.uy)
         new_state = ADMMState(x, zx, zy, ux, uy)
         if return_diagnostics:
             r = jnp.sqrt(

@@ -70,6 +70,14 @@ def _h_mats(h: int, dtype=np.float32):
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
+# Note on a rejected design (kept as a record for future tuning): fusing the
+# re/im planes into matmuls with a concatenated ~2*Wf minor axis cuts the op
+# count from ~18 to ~10, but the TPU compiler pathologically slow-compiles
+# GEMMs with such wide outputs at deep contractions (948 s vs 4 s for the
+# same FLOPs at Wf columns) and the runtime regressed ~10% from relayouts.
+# The separate-matmul formulation below compiles and runs fastest.
+
+
 def rfft2_mxu(
     x: jnp.ndarray, precision=Precision.HIGHEST
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -265,6 +265,8 @@ def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
         "remat",
         "fft_mode",
         "prox_impl",
+        "alpha",
+        "return_state",
     ),
 )
 def tv_deconvolve(
@@ -279,6 +281,9 @@ def tv_deconvolve(
     remat: bool = False,
     fft_mode: str = "xla",
     prox_impl: str = "xla",
+    alpha: float = 1.0,
+    init_state: "ADMMState | None" = None,
+    return_state: bool = False,
 ):
     """Fixed-iteration ADMM TV deconvolution (differentiable).
 
@@ -298,9 +303,16 @@ def tv_deconvolve(
       x_bounds: optional box constraint projected in the x-update.
       return_diagnostics: also return per-iteration residual norms.
       remat: rematerialize the loop body under autodiff (memory vs FLOPs).
+      alpha: over-relaxation factor (Boyd sec. 3.4.3); 1.0 = plain ADMM,
+        1.5-1.8 typically converges in noticeably fewer iterations.
+      init_state: warm-start iterate from a previous ``return_state=True``
+        solve (e.g. the same frame at a different lam, or video frames).
+      return_state: also return the final :class:`ADMMState` for warm
+        restarts.
 
     Returns:
-      Restored image(s) with the input's shape, or ``(x, ADMMDiagnostics)``.
+      Restored image(s) with the input's shape; with flags set, a tuple
+      ``(x[, diagnostics][, state])`` in that order.
     """
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
@@ -314,8 +326,11 @@ def tv_deconvolve(
     c_spec = 1.0 / (denom_h + rho_f * lap)
 
     n = b * c
-    zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
-    state = ADMMState(zeros, zeros, zeros, zeros, zeros)
+    if init_state is not None:
+        state = init_state
+    else:
+        zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
+        state = ADMMState(zeros, zeros, zeros, zeros, zeros)
 
     def body(state: ADMMState, _):
         x = _x_update(
@@ -332,7 +347,14 @@ def tv_deconvolve(
             fft_mode,
         )
         dxx, dxy = grad2d(x)
-        zx, zy, ux, uy = prox_step(dxx, dxy, state.ux, state.uy)
+        if alpha != 1.0:
+            # Over-relaxation: blend D x with the previous z before the
+            # z/dual updates (Boyd sec. 3.4.3).
+            rxx = alpha * dxx + (1.0 - alpha) * state.zx
+            rxy = alpha * dxy + (1.0 - alpha) * state.zy
+        else:
+            rxx, rxy = dxx, dxy
+        zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy)
         new_state = ADMMState(x, zx, zy, ux, uy)
         if return_diagnostics:
             r = jnp.sqrt(
@@ -350,6 +372,7 @@ def tv_deconvolve(
     state, ys = jax.lax.scan(body, state, None, length=iters)
     x = _unfold(state.x, b, c).reshape(orig_shape)
 
+    out = (x,)
     if return_diagnostics:
         r_hist, s_hist = ys
         diags = ADMMDiagnostics(
@@ -358,8 +381,10 @@ def tv_deconvolve(
             iterations=jnp.asarray(iters),
             rho=jnp.broadcast_to(jnp.squeeze(rho_f), (n,)),
         )
-        return x, diags
-    return x
+        out = out + (diags,)
+    if return_state:
+        out = out + (state,)
+    return out if len(out) > 1 else x
 
 
 @functools.partial(

@@ -217,3 +217,54 @@ class TestAdaptive:
         )
         # Badly-scaled initial rho must be rebalanced.
         assert not np.allclose(np.asarray(diag.rho), 100.0)
+
+
+class TestAccelerators:
+    """Over-relaxation and warm-start (no reference counterpart)."""
+
+    def test_over_relaxation_converges_faster(self, rng):
+        img = _test_image(rng, 32, 32)
+        psf = _motion_psf(5).astype(np.float64)
+        blurred = jnp.asarray(circ_conv_centered(img, psf), jnp.float32)
+        psf32 = jnp.asarray(psf, jnp.float32)
+
+        def resid(alpha, iters):
+            _, d = tv_deconvolve(
+                blurred, psf32, lam=0.01, rho=0.05, iters=iters,
+                alpha=alpha, return_diagnostics=True,
+            )
+            return float(d.r_norm[0])
+
+        # At equal iteration count the relaxed run has smaller residual.
+        assert resid(1.8, 25) < resid(1.0, 25)
+
+    def test_alpha_one_unchanged(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        a = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10)
+        b = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=10, alpha=1.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_warm_start_resumes(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        x20 = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=20)
+        x10, state = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, return_state=True
+        )
+        x_resumed = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, init_state=state
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_resumed), np.asarray(x20), rtol=1e-5, atol=1e-6
+        )
+
+    def test_state_and_diags_together(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        x, diags, state = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=5,
+            return_diagnostics=True, return_state=True,
+        )
+        assert isinstance(state.x, jnp.ndarray)
+        assert int(diags.iterations) == 5

@@ -9,5 +9,12 @@ difference stencils, and psum'd residual norms for shared rho adaptation.
 
 from admm_deconv_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from admm_deconv_tpu.parallel.tiling import tiled_tv_deconvolve
+from admm_deconv_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "tiled_tv_deconvolve"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "tiled_tv_deconvolve",
+    "distributed",
+]

@@ -396,6 +396,8 @@ def tv_deconvolve(
         "adapt_rho",
         "check_every",
         "fft_mode",
+        "alpha",
+        "return_state",
     ),
 )
 def tv_deconvolve_adaptive(
@@ -413,6 +415,9 @@ def tv_deconvolve_adaptive(
     tau_scale: float = 2.0,
     check_every: int = 1,
     fft_mode: str = "xla",
+    alpha: float = 1.0,
+    init_state: "ADMMState | None" = None,
+    return_state: bool = False,
 ):
     """ADMM with per-image residual-balanced rho and early stopping.
 
@@ -462,8 +467,13 @@ def tv_deconvolve_adaptive(
             fft_mode,
         )
         dxx, dxy = grad2d(x)
+        if alpha != 1.0:
+            rxx = alpha * dxx + (1.0 - alpha) * state.zx
+            rxy = alpha * dxy + (1.0 - alpha) * state.zy
+        else:
+            rxx, rxy = dxx, dxy
         tau = lam0 / rho_cur
-        zx, zy, ux, uy = prox_lib.prox_dual_step(dxx, dxy, state.ux, state.uy, tau, prox_fn)
+        zx, zy, ux, uy = prox_lib.prox_dual_step(rxx, rxy, state.ux, state.uy, tau, prox_fn)
 
         # Per-image residual norms (psum-able across spatial tiles).
         r_norm = jnp.sqrt(jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1)))
@@ -495,7 +505,11 @@ def tv_deconvolve_adaptive(
         new_state = ADMMState(x, zx, zy, ux, uy)
         return (new_state, rho_new, it + 1, done)
 
-    state0 = ADMMState(zeros, zeros, zeros, zeros, zeros)
+    state0 = (
+        init_state
+        if init_state is not None
+        else ADMMState(zeros, zeros, zeros, zeros, zeros)
+    )
     init = (state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool))
     state, rho_fin, it, done = jax.lax.while_loop(cond, body, init)
 
@@ -509,6 +523,8 @@ def tv_deconvolve_adaptive(
         iterations=it,
         rho=rho_fin[:, 0, 0],
     )
+    if return_state:
+        return x, diags, state
     return x, diags
 
 

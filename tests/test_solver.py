@@ -268,3 +268,32 @@ class TestAccelerators:
         )
         assert isinstance(state.x, jnp.ndarray)
         assert int(diags.iterations) == 5
+
+
+class TestAdaptiveAccelerators:
+    def test_adaptive_warm_start_and_state(self, rng):
+        img = _test_image(rng, 16, 16)
+        y = jnp.asarray(img, jnp.float32)
+        x, d, state = tv_deconvolve_adaptive(
+            y, None, lam=0.05, rho=0.5, max_iters=10,
+            eps_abs=0.0, eps_rel=0.0, adapt_rho=False, return_state=True,
+        )
+        x2, d2 = tv_deconvolve_adaptive(
+            y, None, lam=0.05, rho=0.5, max_iters=10,
+            eps_abs=0.0, eps_rel=0.0, adapt_rho=False, init_state=state,
+        )
+        x20, _ = tv_deconvolve_adaptive(
+            y, None, lam=0.05, rho=0.5, max_iters=20,
+            eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x20), rtol=1e-4, atol=1e-5
+        )
+
+    def test_adaptive_over_relaxation_runs(self, rng):
+        img = _test_image(rng, 16, 16)
+        x, d = tv_deconvolve_adaptive(
+            jnp.asarray(img, jnp.float32), None, lam=0.05, rho=0.5,
+            max_iters=50, alpha=1.6,
+        )
+        assert np.all(np.isfinite(np.asarray(x)))

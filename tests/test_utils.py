@@ -70,3 +70,25 @@ class TestDebug:
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: x / 0.0 * 0.0)(jnp.asarray(1.0))
         enable_nan_checks(False)
+
+
+class TestSolverStateIO:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        import jax.numpy as jnp
+        from admm_deconv_tpu.ops.solver import tv_deconvolve
+        from admm_deconv_tpu.utils import save_solver_state, load_solver_state
+
+        y = jnp.asarray(rng.random((16, 16)), jnp.float32)
+        x10, state = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, return_state=True
+        )
+        p = str(tmp_path / "state.npz")
+        save_solver_state(p, state)
+        restored = load_solver_state(p)
+        x_resumed = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, init_state=restored
+        )
+        x20 = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=20)
+        np.testing.assert_allclose(
+            np.asarray(x_resumed), np.asarray(x20), rtol=1e-5, atol=1e-6
+        )

@@ -17,6 +17,7 @@ from admm_deconv_tpu.ops.solver import (
     ADMMState,
     ADMMDiagnostics,
 )
+from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
 from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.metrics import peak_snr, ssim, ssim_loss, gmsd, gmsd_loss
 
@@ -25,6 +26,7 @@ __version__ = "0.1.0"
 __all__ = [
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "composite_tv_deconvolve",
     "ADMMState",
     "ADMMDiagnostics",
     "prox",

@@ -8,6 +8,7 @@ from admm_deconv_tpu.ops.fft import psf_to_otf, laplacian_spectrum
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.ops.solver import tv_deconvolve, tv_deconvolve_adaptive
+from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
 
 __all__ = [
     "psf_to_otf",
@@ -17,4 +18,5 @@ __all__ = [
     "prox",
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "composite_tv_deconvolve",
 ]

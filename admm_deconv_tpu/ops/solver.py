@@ -231,25 +231,30 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
     return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
 
 
-def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
-    q = grad2d_adjoint(zx - ux, zy - uy)
+def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla"):
+    """Closed-form normal-equation solve given the spatial rhs term ``q``:
+    ``irfft2(c_spec * (B + rho * rfft2(q)))`` under the selected FFT mode."""
     if fft_mode == "xla":
-        x = jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
-    elif fft_mode in ("pack", "pack_precise"):
+        return jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    if fft_mode in ("pack", "pack_precise"):
         # b_f is the spatial H^T y cache; c_spec is in the four-step layout.
-        x = real_filter2d_packed(
+        return real_filter2d_packed(
             b_f + rho * q, c_spec, precision=_fft_precision(fft_mode)
         )
-    else:
-        prec = _fft_precision(fft_mode)
-        br, bi = b_f
-        qr, qi = rfft2_mxu(q, precision=prec)
-        x = irfft2_mxu(
-            c_spec * (br + rho * qr),
-            c_spec * (bi + rho * qi),
-            (h, w),
-            precision=prec,
-        )
+    prec = _fft_precision(fft_mode)
+    br, bi = b_f
+    qr, qi = rfft2_mxu(q, precision=prec)
+    return irfft2_mxu(
+        c_spec * (br + rho * qr),
+        c_spec * (bi + rho * qi),
+        (h, w),
+        precision=prec,
+    )
+
+
+def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
+    q = grad2d_adjoint(zx - ux, zy - uy)
+    x = _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode)
     if x_bounds is not None:
         x = jnp.clip(x, x_bounds[0], x_bounds[1])
     return x

@@ -1,0 +1,97 @@
+"""Composite TV + L1 + box prior solver tests (BASELINE config 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+from admm_deconv_tpu.ops.solver import tv_deconvolve
+
+from reference_twin import circ_conv_centered
+
+
+def _sparse_scene(rng, h=32, w=32):
+    """Mostly-zero image with a few bright rectangles (L1-friendly)."""
+    img = np.zeros((h, w))
+    for _ in range(3):
+        r0, c0 = rng.integers(0, h - 8, 2)
+        img[r0 : r0 + 6, c0 : c0 + 6] = rng.random() * 0.8 + 0.2
+    return img
+
+
+class TestComposite:
+    def test_tv_only_matches_core_solver_at_convergence(self, rng):
+        img = _sparse_scene(rng)
+        y = jnp.asarray(img + 0.05 * rng.standard_normal(img.shape), jnp.float32)
+        x_tv = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=300)
+        x_comp = composite_tv_deconvolve(
+            y, None, lam_tv=0.05, lam_l1=0.0, rho1=0.5, rho2=0.5, iters=300
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_comp), np.asarray(x_tv), atol=2e-3
+        )
+
+    def test_l1_promotes_sparsity(self, rng):
+        img = _sparse_scene(rng)
+        noisy = jnp.asarray(
+            img + 0.1 * rng.standard_normal(img.shape), jnp.float32
+        )
+        x_no_l1 = composite_tv_deconvolve(
+            noisy, None, lam_tv=0.02, lam_l1=0.0, rho1=0.5, rho2=0.5, iters=100
+        )
+        x_l1 = composite_tv_deconvolve(
+            noisy, None, lam_tv=0.02, lam_l1=0.08, rho1=0.5, rho2=0.5, iters=100
+        )
+        frac_zero = lambda a: float(jnp.mean(jnp.abs(a) < 1e-4))
+        assert frac_zero(x_l1) > frac_zero(x_no_l1) + 0.1
+
+    def test_box_constraint_exact(self, rng):
+        img = _sparse_scene(rng)
+        psf = np.zeros((5, 5), np.float32)
+        psf[2, :] = 0.2
+        blurred = circ_conv_centered(img, psf.astype(np.float64))
+        x = composite_tv_deconvolve(
+            jnp.asarray(blurred, jnp.float32), psf,
+            lam_tv=0.005, lam_l1=0.0, rho1=0.05, rho2=0.05,
+            iters=60, x_bounds=(0.0, 1.0),
+        )
+        assert float(jnp.min(x)) >= 0.0
+        assert float(jnp.max(x)) <= 1.0
+
+    def test_deconv_restores(self, rng):
+        img = _sparse_scene(rng)
+        psf = np.zeros((5, 5), np.float64)
+        psf[2, :] = 0.2
+        blurred = circ_conv_centered(img, psf)
+        x = composite_tv_deconvolve(
+            jnp.asarray(blurred, jnp.float32), jnp.asarray(psf, jnp.float32),
+            lam_tv=0.003, lam_l1=0.003, rho1=0.03, rho2=0.03,
+            iters=150, x_bounds=(0.0, 1.0),
+        )
+        err_blur = float(jnp.mean((jnp.asarray(blurred, jnp.float32) - img) ** 2))
+        err_rest = float(jnp.mean((x - img) ** 2))
+        assert err_rest < err_blur * 0.5
+
+    def test_differentiable(self, rng):
+        y = jnp.asarray(_sparse_scene(rng, 16, 16), jnp.float32)
+
+        def loss(lam_tv, lam_l1):
+            x = composite_tv_deconvolve(
+                y, None, lam_tv=lam_tv, lam_l1=lam_l1, rho1=0.5, rho2=0.5, iters=8
+            )
+            return jnp.mean(x**2)
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(0.05, 0.02)
+        assert np.isfinite(float(g1)) and np.isfinite(float(g2))
+
+    def test_mxu_mode_matches(self, rng):
+        y = jnp.asarray(_sparse_scene(rng), jnp.float32)
+        a = composite_tv_deconvolve(
+            y, None, lam_tv=0.05, lam_l1=0.02, rho1=0.5, rho2=0.5, iters=20
+        )
+        b = composite_tv_deconvolve(
+            y, None, lam_tv=0.05, lam_l1=0.02, rho1=0.5, rho2=0.5, iters=20,
+            fft_mode="mxu_precise",
+        )
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

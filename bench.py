@@ -43,12 +43,22 @@ def make_inputs():
 def main():
     y, psf = make_inputs()
 
-    # The MXU DFT-by-matmul path is ~2x the XLA-FFT path on TPU.
-    fft_mode = "mxu" if jax.default_backend() != "cpu" else "xla"
+    # The MXU DFT-by-matmul path is ~2x the XLA-FFT path on TPU, and the
+    # fused Pallas stencil (D -> prox -> dual -> D^T in one VMEM pass) takes
+    # the non-DFT part of each iteration from ~3 ms to ~1.8 ms.
+    on_tpu = jax.default_backend() != "cpu"
+    fft_mode = "mxu" if on_tpu else "xla"
+    prox_impl = "pallas" if on_tpu else "xla"
 
     def solve(y):
         return tv_deconvolve(
-            y, psf=psf, lam=0.0041, rho=0.021, iters=ITERS, fft_mode=fft_mode
+            y,
+            psf=psf,
+            lam=0.0041,
+            rho=0.021,
+            iters=ITERS,
+            fft_mode=fft_mode,
+            prox_impl=prox_impl,
         )
 
     # Warmup / compile.  NOTE: on the axon TPU backend block_until_ready

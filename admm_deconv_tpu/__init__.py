@@ -18,6 +18,7 @@ from admm_deconv_tpu.ops.solver import (
     ADMMDiagnostics,
 )
 from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
 from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.metrics import peak_snr, ssim, ssim_loss, gmsd, gmsd_loss
 
@@ -27,6 +28,7 @@ __all__ = [
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
     "composite_tv_deconvolve",
+    "tv_deconvolve_implicit",
     "ADMMState",
     "ADMMDiagnostics",
     "prox",

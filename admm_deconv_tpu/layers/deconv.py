@@ -60,6 +60,12 @@ class ADMMDeconv(nn.Module):
         gradients; the rest are stop-gradient'ed (frozen).
       remat: rematerialize the unrolled loop under autodiff.
       fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise").
+      diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
+        (exact gradient of the truncated solver; required for trainable rho);
+        "implicit" differentiates the converged fixed point with the
+        implicit function theorem at O(1) memory
+        (:func:`admm_deconv_tpu.ops.implicit.tv_deconvolve_implicit`).
+      bwd_iters: Neumann-adjoint depth for ``diff_mode="implicit"``.
     """
 
     kernel_shape: Sequence[int] = ()
@@ -73,6 +79,8 @@ class ADMMDeconv(nn.Module):
     trainable: Sequence[str] = ("weight", "bias", "lam", "rho")
     remat: bool = False
     fft_mode: str = "xla"
+    diff_mode: str = "unroll"
+    bwd_iters: int = 30
 
     def _maybe_stop(self, name: str, value: jnp.ndarray) -> jnp.ndarray:
         if name in self.trainable:
@@ -117,16 +125,34 @@ class ADMMDeconv(nn.Module):
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        out = tv_deconvolve(
-            x,
-            psf=psf,
-            lam=lam,
-            rho=rho,
-            iters=self.iters,
-            prox="iso" if self.iso else "aniso",
-            remat=self.remat,
-            fft_mode=self.fft_mode,
-        )
+        if self.diff_mode == "implicit":
+            from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
+
+            out = tv_deconvolve_implicit(
+                x,
+                psf=psf,
+                lam=lam,
+                rho=rho,
+                iters=self.iters,
+                prox="iso" if self.iso else "aniso",
+                bwd_iters=self.bwd_iters,
+                fft_mode=self.fft_mode,
+            )
+        elif self.diff_mode == "unroll":
+            out = tv_deconvolve(
+                x,
+                psf=psf,
+                lam=lam,
+                rho=rho,
+                iters=self.iters,
+                prox="iso" if self.iso else "aniso",
+                remat=self.remat,
+                fft_mode=self.fft_mode,
+            )
+        else:
+            raise ValueError(
+                f"diff_mode must be 'unroll' or 'implicit', got {self.diff_mode!r}"
+            )
 
         if self.use_bias:
             bias = self._maybe_stop("bias", self.param("bias", nn.initializers.zeros, (1,)))

@@ -9,6 +9,7 @@ from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.ops.solver import tv_deconvolve, tv_deconvolve_adaptive
 from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
 
 __all__ = [
     "psf_to_otf",
@@ -19,4 +20,5 @@ __all__ = [
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
     "composite_tv_deconvolve",
+    "tv_deconvolve_implicit",
 ]

@@ -78,18 +78,62 @@ class Autoencoder(nn.Module):
 
 class DenoiserBank(nn.Module):
     """Bank of 5 pure-TV ADMM denoisers at different fixed rho, channel-concat
-    (``net_build.jl:113-128``)."""
+    (``net_build.jl:113-128``).
+
+    ``fused=True`` (default) runs all 5 branches as ONE batched solve: the
+    input is tiled 5x along the batch axis with per-image (lam, rho)
+    vectors, so one 50-iteration scan replaces five.  Mathematically
+    identical to the per-branch composition (each plane is an independent
+    deconvolution; tested), and ~4-5x fewer op dispatches on TPU where
+    per-op overhead dominates at training shapes.  Matches the reference's
+    ``ADMMDeconvF2`` semantics: trainable lam (|glorot| init), fixed rho.
+    """
 
     iso: bool = True
     iters: int = 50
+    fused: bool = True
+
+    RHOS = (0.002, 0.02, 0.2, 2.0, 4.0)
 
     @nn.compact
     def __call__(self, x):
-        outs = [
-            ADMMDeconvF2((), self.iters, rho, relu1, iso=self.iso)(x)
-            for rho in (0.002, 0.02, 0.2, 2.0, 4.0)
-        ]
-        return jnp.concatenate(outs, axis=-1)
+        if not self.fused:
+            outs = [
+                ADMMDeconvF2((), self.iters, rho, relu1, iso=self.iso)(x)
+                for rho in self.RHOS
+            ]
+            return jnp.concatenate(outs, axis=-1)
+
+        from admm_deconv_tpu.layers.deconv import _RHO_FLOOR, _glorot_scalar_init
+        from admm_deconv_tpu.ops.solver import tv_deconvolve
+
+        n_br = len(self.RHOS)
+        lam = self.param("lam", _glorot_scalar_init, (n_br,))
+        lam = jnp.clip(lam, 0.0, None)
+        rho = jnp.maximum(jnp.asarray(self.RHOS, x.dtype), _RHO_FLOOR)
+
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        b = x.shape[0]
+        x5 = jnp.concatenate([x] * n_br, axis=0)  # branch-major (5B, H, W, C)
+        lam5 = jnp.repeat(lam, b)
+        rho5 = jnp.repeat(rho, b)
+        out = tv_deconvolve(
+            x5,
+            psf=None,
+            lam=lam5,
+            rho=rho5,
+            iters=self.iters,
+            prox="iso" if self.iso else "aniso",
+        )
+        out = relu1(out)
+        h, w, c = out.shape[1:]
+        # (5B,H,W,C) -> (B,H,W,5*C), branch-major channel order — identical
+        # to concatenating the per-branch outputs.
+        out = out.reshape(n_br, b, h, w, c)
+        out = jnp.moveaxis(out, 0, 3).reshape(b, h, w, n_br * c)
+        return out[0] if squeeze else out
 
 
 class AdmmDenoiser(nn.Module):

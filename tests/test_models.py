@@ -67,6 +67,33 @@ class TestZoo:
         assert out.shape == (1, 16, 16, 15)  # 5 branches x 3 channels
         assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
 
+    def test_denoiser_bank_fused_matches_per_branch(self, rng):
+        """The single batched solve (fused=True) must equal the 5-branch
+        composition given the same lam values."""
+        import flax
+
+        x = _x(rng, h=16, w=16)
+        fused = DenoiserBank(iters=4, fused=True)
+        unfused = DenoiserBank(iters=4, fused=False)
+        pf = fused.init(jax.random.PRNGKey(0), x)
+        pu = flax.core.unfreeze(unfused.init(jax.random.PRNGKey(0), x))
+        lam = np.asarray(pf["params"]["lam"])
+        for i in range(5):
+            pu["params"][f"ADMMDeconv_{i}"]["lam"] = jnp.asarray([lam[i]])
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(pf, x)),
+            np.asarray(unfused.apply(pu, x)),
+            atol=1e-6,
+        )
+
+    def test_denoiser_bank_fused_gradient(self, rng):
+        x = _x(rng, h=16, w=16)
+        m = DenoiserBank(iters=4, fused=True)
+        params = {"params": {"lam": jnp.asarray([0.001, 0.01, 0.05, 0.1, 0.2])}}
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
+        gl = np.asarray(g["params"]["lam"])
+        assert np.all(np.isfinite(gl)) and np.any(gl != 0)
+
     def test_autoencoder_output(self, rng):
         x = _x(rng)
         m = Autoencoder()

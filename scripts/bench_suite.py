@@ -1,0 +1,154 @@
+"""Full benchmark harness producing the BASELINE.md table (SURVEY.md §7.7).
+
+`bench.py` at the repo root prints the single headline JSON line the driver
+consumes; this suite measures the whole table:
+
+  1080p   — batch-4 RGB, 7x7 motion PSF, aniso TV, 50 iters
+            (XLA-FFT path and MXU+fused-Pallas path)
+  4k      — single-frame RGB, same scenario (``--full``)
+  parity  — 256^2 reference scenario (lam=0.0041, rho=0.021, 100 iters):
+            PSNR of the fast path vs the fp32-exact XLA path
+  adaptive— iterations/adapted-rho of the early-stopping solver
+  train   — flagship AdmmDenoiser train step (``--train``; ~4 min compile)
+
+Each result prints as one JSON line; pass ``--out FILE`` to also write a
+JSON array.  Timing forces device completion with a host scalar fetch and
+uses fresh inputs per repeat (see CLAUDE.md / utils/profiling.py for why).
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from admm_deconv_tpu.metrics import peak_snr
+from admm_deconv_tpu.ops.solver import tv_deconvolve, tv_deconvolve_adaptive
+from admm_deconv_tpu.utils.profiling import IterationTimer
+
+LAM, RHO, ITERS = 0.0041, 0.021, 50
+
+
+def motion_psf():
+    psf = np.zeros((7, 7), np.float32)
+    psf[3, :] = 1.0 / 7.0
+    return jnp.asarray(psf)
+
+
+def time_solve(shape, fft_mode, prox_impl, iters=ITERS, repeats=3):
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random(shape), jnp.float32)
+    psf = motion_psf()
+
+    def solve(y):
+        return tv_deconvolve(
+            y, psf=psf, lam=LAM, rho=RHO, iters=iters,
+            fft_mode=fft_mode, prox_impl=prox_impl,
+        )
+
+    timer = IterationTimer(solve, lambda i: (img + 1e-3 * i,))
+    stats = timer.measure(repeats=repeats)
+    return {
+        "s_per_solve": round(stats["seconds_per_call"], 4),
+        "iters_per_s": round(iters / stats["seconds_per_call"], 2),
+    }
+
+
+def emit(results, rec):
+    print(json.dumps(rec))
+    results.append(rec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="include the 4K workload")
+    ap.add_argument("--train", action="store_true", help="include the flagship train step (slow compile)")
+    ap.add_argument("--out", default=None, help="also write a JSON array here")
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() != "cpu"
+    fast_fft = "mxu" if on_tpu else "xla"
+    fast_prox = "pallas" if on_tpu else "xla"
+    results = []
+
+    # 1080p batch-4, both paths.
+    shape = (4, 1080, 1920, 3)
+    emit(results, {"bench": "1080p_batch4", "path": "xla",
+                   **time_solve(shape, "xla", "xla")})
+    emit(results, {"bench": "1080p_batch4", "path": f"{fast_fft}+{fast_prox}",
+                   **time_solve(shape, fast_fft, fast_prox)})
+
+    if args.full:
+        shape4k = (1, 2160, 3840, 3)
+        emit(results, {"bench": "4k_frame", "path": f"{fast_fft}+{fast_prox}",
+                       **time_solve(shape4k, fast_fft, fast_prox)})
+
+    # Quality parity: reference scenario on a synthetic blocks image.
+    rng = np.random.default_rng(1)
+    clean = np.clip(0.2 + (rng.random((3, 256, 256, 3)) > 0.5) * 0.4, 0, 1).astype(np.float32)
+    psf_np = np.asarray(motion_psf())
+    blurred = sum(
+        psf_np[a, c] * np.roll(clean, (a - 3, c - 3), (1, 2))
+        for a in range(7) for c in range(7)
+    )
+    y = jnp.asarray(blurred)
+    kw = dict(psf=motion_psf(), lam=LAM, rho=RHO, iters=100)
+    x_exact = jnp.clip(tv_deconvolve(y, fft_mode="xla", **kw), 0, 1)
+    x_fast = jnp.clip(tv_deconvolve(y, fft_mode=fast_fft, prox_impl=fast_prox, **kw), 0, 1)
+    ref = jnp.asarray(clean)
+    emit(results, {
+        "bench": "parity_256",
+        "psnr_exact_db": round(float(peak_snr(x_exact, ref)), 3),
+        "psnr_fast_db": round(float(peak_snr(x_fast, ref)), 3),
+        "max_abs_path_diff": float(jnp.max(jnp.abs(x_exact - x_fast))),
+    })
+
+    # Adaptive solver: early stop + residual-balanced rho.
+    xa, diag = tv_deconvolve_adaptive(y, psf=motion_psf(), lam=LAM, max_iters=200)
+    emit(results, {
+        "bench": "adaptive_256",
+        "iterations": int(diag.iterations),
+        "rho_final_range": [round(float(jnp.min(diag.rho)), 4),
+                            round(float(jnp.max(diag.rho)), 4)],
+    })
+
+    if args.train:
+        import optax
+        from admm_deconv_tpu.models import AdmmDenoiser
+        from admm_deconv_tpu.metrics import gmsd_loss
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.random((2, 112, 112, 3)), jnp.float32)
+        t = jnp.asarray(rng.random((2, 112, 112, 3)), jnp.float32)
+        model = AdmmDenoiser()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        opt = optax.adabelief(1e-4)
+        opt_state = jax.jit(opt.init)(params)
+
+        @jax.jit
+        def step(params, opt_state, x, t):
+            loss, grads = jax.value_and_grad(
+                lambda p: gmsd_loss(model.apply(p, x), t)
+            )(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        timer = IterationTimer(
+            lambda xi, ti: step(params, opt_state, xi, ti)[2],
+            lambda i: (x + 1e-3 * i, t),
+        )
+        stats = timer.measure(repeats=8)
+        emit(results, {"bench": "flagship_train_step",
+                       "ms_per_step": round(stats["seconds_per_call"] * 1e3, 1)})
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

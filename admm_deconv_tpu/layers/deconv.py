@@ -59,7 +59,8 @@ class ADMMDeconv(nn.Module):
       trainable: subset of {"weight", "bias", "lam", "rho"} receiving
         gradients; the rest are stop-gradient'ed (frozen).
       remat: rematerialize the unrolled loop under autodiff.
-      fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise").
+      fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise" |
+        "fold" | "fold_precise"); "fold" is the fastest TPU mode.
       diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
         (exact gradient of the truncated solver; required for trainable rho);
         "implicit" differentiates the converged fixed point with the

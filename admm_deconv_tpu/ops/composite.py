@@ -79,6 +79,10 @@ def composite_tv_deconvolve(
     tau_l1 = jnp.asarray(lam_l1, y_f.dtype) / rho2_f
     # Identity-split penalty adds rho2 to the Wiener denominator.
     c_spec = 1.0 / (denom_h + rho1_f * lap + rho2_f)
+    if fft_mode in ("fold", "fold_precise"):
+        from admm_deconv_tpu.ops.fft_mxu import fold_even_odd
+
+        c_spec = fold_even_odd(c_spec)
 
     lo, hi = (None, None) if x_bounds is None else x_bounds
 

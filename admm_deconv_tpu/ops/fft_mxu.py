@@ -129,3 +129,128 @@ def irfft2_mxu(
     return jnp.einsum("...hk,kw->...hw", ar, aw, precision=precision) + jnp.einsum(
         "...hk,kw->...hw", ai, bw, precision=precision
     )
+
+
+# --------------------------------------------------------------------------
+# Folded half-H representation.
+#
+# After the W-direction rFFT, the H-direction transform acts on two *real*
+# arrays re1/im1, and the H-DFT of a real signal is Hermitian — only
+# Hf = H//2+1 rows carry information.  Storing the spectrum as the two half
+# Hermitian spectra
+#
+#     A = DFT_H(re1),  B = DFT_H(im1)      (full spectrum S = A + i B)
+#
+# halves the H-direction matmul FLOPs in BOTH directions (H x Hf matrices
+# instead of H x H) at the same op count, and halves the size of every
+# elementwise op in the spectral epilogue.  Multiplying S by a *real*
+# denominator c (the ADMM normal-equation inverse) is closed over this
+# representation via the even/odd split c = ce + co in the H index:
+# ce*Hermitian stays Hermitian, co*Hermitian is anti-Hermitian =
+# i*(Hermitian), and linearity folds all four products into exactly two
+# Hermitian irfft_H arguments (see `spectral_scale_folded`).  Net per-image
+# rfft2+scale+irfft2 cost: 4*H*W*(Hf+Wf) MACs — the symmetry-optimal dense
+# DFT — vs 4*H*W*(H+Wf) for the unfolded path (~26% fewer at 1080p).
+# --------------------------------------------------------------------------
+
+
+def rfft2_mxu_folded(
+    x: jnp.ndarray, precision=Precision.HIGHEST
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """2-D real DFT in the folded half-H representation.
+
+    Returns ``(a_re, a_im, b_re, b_im)``, each ``(..., H//2+1, W//2+1)``:
+    the Hermitian H-spectra of the real/imag parts of the W-direction rFFT.
+    The full ``jnp.fft.rfft2`` spectrum is ``S[m] = A[m] + i*B[m]`` extended
+    by ``A[H-m] = conj(A[m])``.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    cw, sw = (jnp.asarray(m) for m in _w_fwd(w))
+    chf, shf = (jnp.asarray(m) for m in _w_fwd(h))  # (H, Hf) cos / -sin
+    re1 = jnp.einsum("...hw,wk->...hk", x, cw, precision=precision)
+    im1 = jnp.einsum("...hw,wk->...hk", x, sw, precision=precision)
+    a_re = jnp.einsum("...hk,hm->...mk", re1, chf, precision=precision)
+    a_im = jnp.einsum("...hk,hm->...mk", re1, shf, precision=precision)
+    b_re = jnp.einsum("...hk,hm->...mk", im1, chf, precision=precision)
+    b_im = jnp.einsum("...hk,hm->...mk", im1, shf, precision=precision)
+    return a_re, a_im, b_re, b_im
+
+
+def irfft2_mxu_folded(
+    pr_re: jnp.ndarray,
+    pr_im: jnp.ndarray,
+    pi_re: jnp.ndarray,
+    pi_im: jnp.ndarray,
+    s: tuple[int, int],
+    precision=Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Inverse 2-D real DFT from two half-stored Hermitian H-arguments.
+
+    ``(pr_re, pr_im)`` / ``(pi_re, pi_im)`` are the Hermitian half H-spectra
+    whose inverse H-DFTs give the real/imag parts fed to the W-direction
+    Hermitian-to-real inverse (see :func:`spectral_scale_folded` for how a
+    real spectral multiply lands in this form).  Output spatial shape ``s``.
+    """
+    h, w = s
+    ah, bh = (jnp.asarray(m) for m in _w_inv(h))  # (Hf, H), weights folded
+    aw, bw = (jnp.asarray(m) for m in _w_inv(w))
+    ar = jnp.einsum("...mk,mh->...hk", pr_re, ah, precision=precision) + jnp.einsum(
+        "...mk,mh->...hk", pr_im, bh, precision=precision
+    )
+    ai = jnp.einsum("...mk,mh->...hk", pi_re, ah, precision=precision) + jnp.einsum(
+        "...mk,mh->...hk", pi_im, bh, precision=precision
+    )
+    return jnp.einsum("...hk,kw->...hw", ar, aw, precision=precision) + jnp.einsum(
+        "...hk,kw->...hw", ai, bw, precision=precision
+    )
+
+
+def fold_hermitian(
+    spec: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fold a full ``rfft2`` spectrum ``(..., H, Wf)`` complex into the
+    half-H ``(a_re, a_im, b_re, b_im)`` representation of
+    :func:`rfft2_mxu_folded` (used to cache the rhs spectrum once)."""
+    h = spec.shape[-2]
+    hf = h // 2 + 1
+    flip = jnp.roll(spec[..., ::-1, :], 1, axis=-2)  # index (H - m) % H
+    a = 0.5 * (spec + jnp.conj(flip))
+    b = -0.5j * (spec - jnp.conj(flip))
+    a, b = a[..., :hf, :], b[..., :hf, :]
+    return jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b)
+
+
+def fold_even_odd(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Even/odd split of a real spectral multiplier along the H bin axis:
+    ``ce[m] = (c[m] + c[(H-m)%H])/2``, ``co`` the odd half; both truncated
+    to ``H//2+1`` rows."""
+    h = c.shape[-2]
+    hf = h // 2 + 1
+    flip = jnp.roll(c[..., ::-1, :], 1, axis=-2)
+    ce = 0.5 * (c + flip)
+    co = 0.5 * (c - flip)
+    return ce[..., :hf, :], co[..., :hf, :]
+
+
+def spectral_scale_folded(
+    folded: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    ce: jnp.ndarray,
+    co: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multiply a folded spectrum by a real multiplier ``c = ce + co``.
+
+    Derivation: with ``S = A + iB`` (A, B Hermitian) and real ``c``,
+    ``cS = ceA + coA + i(ceB + coB)``; ``ce*Hermitian`` is Hermitian and
+    ``co*Hermitian = i*(Hermitian)``, so the inverse H-transform's complex
+    input has real part ``irfft_H(ceA - (-i co B))`` and imaginary part
+    ``irfft_H(-i co A + ce B)`` — two Hermitian half-arguments, returned
+    here as ``(pr_re, pr_im, pi_re, pi_im)`` for :func:`irfft2_mxu_folded`.
+    The ``co`` rows at m=0 and m=H/2 are identically zero, which keeps both
+    arguments exactly Hermitian-consistent.
+    """
+    a_re, a_im, b_re, b_im = folded
+    pr_re = ce * a_re - co * b_im
+    pr_im = ce * a_im + co * b_re
+    pi_re = co * a_im + ce * b_re
+    pi_im = ce * b_im - co * a_re
+    return pr_re, pr_im, pi_re, pi_im

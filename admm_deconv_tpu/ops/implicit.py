@@ -54,6 +54,7 @@ from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.solver import (
     _fold,
+    _form_cspec,
     _normalize_input,
     _prepare,
     _solve_spectral,
@@ -72,7 +73,7 @@ def _step(s, y, psf, lam, rho, prox_name, fft_mode, x_bounds):
         y, psf, lam, rho, fft_mode
     )
     tau = lam_f / rho_f
-    c_spec = 1.0 / (denom_h + rho_f * lap)
+    c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
     q = grad2d_adjoint(zx - ux, zy - uy)
     x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
     if x_bounds is not None:
@@ -110,8 +111,15 @@ def _fwd(y, psf, lam, rho, iters, prox, bwd_iters, fft_mode, x_bounds):
     return x, (s, y, psf, lam, rho)
 
 
-def _bwd(iters, prox, bwd_iters, fft_mode, x_bounds, residuals, xbar):
-    s, y, psf, lam, rho = residuals
+@functools.partial(
+    jax.jit,
+    static_argnames=("prox", "bwd_iters", "fft_mode", "x_bounds"),
+)
+def _bwd_impl(s, y, psf, lam, rho, xbar, *, prox, bwd_iters, fft_mode, x_bounds):
+    # Jitted so the Neumann adjoint never dispatches eagerly — users may call
+    # ``jax.grad`` without an enclosing jit, and on the axon TPU backend
+    # eager per-op execution is both ~28 ms/op and incomplete (complex
+    # slicing in the fold FFT modes is unimplemented outside compilation).
     y4, _ = _normalize_input(jnp.asarray(y))
     # The public output is the unfolded image; _step's x lives in the folded
     # (B*C, H, W) view, so the incoming cotangent is folded likewise (the
@@ -132,6 +140,22 @@ def _bwd(iters, prox, bwd_iters, fft_mode, x_bounds, residuals, xbar):
     w, _ = jax.lax.scan(neumann_body, w0, None, length=bwd_iters)
     _, ybar, psfbar, lambar, rhobar = vjp_G((w, xbar_f))
     return ybar, psfbar, lambar, rhobar
+
+
+def _bwd(iters, prox, bwd_iters, fft_mode, x_bounds, residuals, xbar):
+    s, y, psf, lam, rho = residuals
+    return _bwd_impl(
+        s,
+        y,
+        psf,
+        lam,
+        rho,
+        xbar,
+        prox=prox,
+        bwd_iters=bwd_iters,
+        fft_mode=fft_mode,
+        x_bounds=x_bounds,
+    )
 
 
 _tv_deconvolve_implicit.defvjp(_fwd, _bwd)

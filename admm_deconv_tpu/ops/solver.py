@@ -58,23 +58,36 @@ from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf, psf_to_otf_full
 from admm_deconv_tpu.ops.fft_factored import real_filter2d_packed, spectrum_to_layout
-from admm_deconv_tpu.ops.fft_mxu import irfft2_mxu, rfft2_mxu
+from admm_deconv_tpu.ops.fft_mxu import (
+    fold_even_odd,
+    fold_hermitian,
+    irfft2_mxu,
+    irfft2_mxu_folded,
+    rfft2_mxu,
+    rfft2_mxu_folded,
+    spectral_scale_folded,
+)
 
 # FFT execution modes for the x-update:
 #   "xla"          — jnp.fft (XLA FftOp); exact fp32 but slow on TPU.
 #   "mxu"          — full DFT-by-matmul on the MXU at HIGH precision
 #                    (bf16x3); ~2x faster on TPU v5e, ~1e-4 relative error.
 #   "mxu_precise"  — DFT-by-matmul at HIGHEST precision (bf16x6, fp32-exact).
+#   "fold"         — DFT-by-matmul in the folded half-H Hermitian
+#                    representation (`ops/fft_mxu.py`): ~26% fewer MXU FLOPs
+#                    than "mxu" at the same op count, HIGH precision.
+#                    Fastest measured mode on TPU.
+#   "fold_precise" — the same at HIGHEST precision.
 #   "pack"         — four-step factored C2C with complex plane packing
-#                    (fastest; requires scalar rho), HIGH precision.
+#                    (requires scalar rho), HIGH precision.
 #   "pack_precise" — the same at HIGHEST precision.
-_FFT_MODES = ("xla", "mxu", "mxu_precise", "pack", "pack_precise")
+_FFT_MODES = ("xla", "mxu", "mxu_precise", "fold", "fold_precise", "pack", "pack_precise")
 
 
 def _fft_precision(fft_mode: str):
     return (
         jax.lax.Precision.HIGH
-        if fft_mode in ("mxu", "pack")
+        if fft_mode in ("mxu", "pack", "fold")
         else jax.lax.Precision.HIGHEST
     )
 
@@ -235,8 +248,25 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
         otf = psf_to_otf(psf, (h, w))
         denom_h = jnp.abs(otf) ** 2
         b_c = jnp.conj(otf) * y_hat
-    b_f = b_c if fft_mode == "xla" else (jnp.real(b_c), jnp.imag(b_c))
+    if fft_mode == "xla":
+        b_f = b_c
+    elif fft_mode in ("fold", "fold_precise"):
+        # Cache the rhs spectrum already folded into the half-H Hermitian
+        # representation consumed by `_solve_spectral`'s fold branch.
+        b_f = fold_hermitian(b_c)
+    else:
+        b_f = (jnp.real(b_c), jnp.imag(b_c))
     return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
+
+
+def _form_cspec(denom_h, lap, rho, fft_mode):
+    """Normal-equation inverse ``1/(|Sigma|^2 + rho |Lambda|^2)`` in the
+    representation the selected FFT mode consumes: the plain ``(H, Wf)``
+    (or per-image ``(N, H, Wf)``) array, or its even/odd half-H fold."""
+    c_spec = 1.0 / (denom_h + rho * lap)
+    if fft_mode in ("fold", "fold_precise"):
+        return fold_even_odd(c_spec)
+    return c_spec
 
 
 def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla"):
@@ -248,6 +278,23 @@ def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla"):
         # b_f is the spatial H^T y cache; c_spec is in the four-step layout.
         return real_filter2d_packed(
             b_f + rho * q, c_spec, precision=_fft_precision(fft_mode)
+        )
+    if fft_mode in ("fold", "fold_precise"):
+        # Folded half-H path: b_f is a 4-tuple of half Hermitian spectra,
+        # c_spec the (ce, co) even/odd pair; every elementwise op here runs
+        # on half-size arrays.
+        prec = _fft_precision(fft_mode)
+        ce, co = c_spec
+        qa_re, qa_im, qb_re, qb_im = rfft2_mxu_folded(q, precision=prec)
+        ba_re, ba_im, bb_re, bb_im = b_f
+        rhs = (
+            ba_re + rho * qa_re,
+            ba_im + rho * qa_im,
+            bb_re + rho * qb_re,
+            bb_im + rho * qb_im,
+        )
+        return irfft2_mxu_folded(
+            *spectral_scale_folded(rhs, ce, co), (h, w), precision=prec
         )
     prec = _fft_precision(fft_mode)
     br, bi = b_f
@@ -336,7 +383,7 @@ def tv_deconvolve(
     )
     tau = lam_f / rho_f
     prox_step = _make_prox_step(prox, prox_impl, tau)
-    c_spec = 1.0 / (denom_h + rho_f * lap)
+    c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
 
     n = b * c
 
@@ -540,7 +587,7 @@ def tv_deconvolve_adaptive(
 
     def body(carry):
         state, rho_cur, it, _ = carry
-        c_spec = 1.0 / (denom_h + rho_cur * lap)
+        c_spec = _form_cspec(denom_h, lap, rho_cur, fft_mode)
         x = _x_update(
             b_f,
             c_spec,

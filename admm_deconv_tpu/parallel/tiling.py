@@ -33,6 +33,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
+from admm_deconv_tpu.ops.fft_mxu import (
+    _w_fwd,
+    _w_inv,
+    fold_even_odd,
+    fold_hermitian,
+    spectral_scale_folded,
+)
 
 
 def _roll_p1_h(x, axis_name):
@@ -81,6 +88,57 @@ def _dist_irfft2(xhat_cols, axis_name, w, wf):
     return jnp.fft.irfft(qf, n=w, axis=-1)
 
 
+def _dist_rfft2_fold(q, axis_name, wp, prec):
+    """Folded MXU variant of :func:`_dist_rfft2` (the multi-chip analogue of
+    the single-chip ``fft_mode="fold"`` path, `ops/fft_mxu.py`).
+
+    Local W-direction rFFT as 2 matmuls, two *real* ``all_to_all``s (same
+    bytes as the complex one), then the half-H Hermitian DFT of the two real
+    intermediates as 4 half-height matmuls.  Returns the column-sharded
+    folded spectrum ``(a_re, a_im, b_re, b_im)``, each ``(N, Hf, Wp/T)``.
+    """
+    h = q.shape[1] * jax.lax.axis_size(axis_name)
+    w = q.shape[-1]
+    cw, sw = (jnp.asarray(m) for m in _w_fwd(w))
+    chf, shf = (jnp.asarray(m) for m in _w_fwd(h))
+    re1 = jnp.einsum("nhw,wk->nhk", q, cw, precision=prec)
+    im1 = jnp.einsum("nhw,wk->nhk", q, sw, precision=prec)
+    wf = re1.shape[-1]
+    pad = ((0, 0), (0, 0), (0, wp - wf))
+    re1 = jax.lax.all_to_all(
+        jnp.pad(re1, pad), axis_name, split_axis=2, concat_axis=1, tiled=True
+    )
+    im1 = jax.lax.all_to_all(
+        jnp.pad(im1, pad), axis_name, split_axis=2, concat_axis=1, tiled=True
+    )
+    a_re = jnp.einsum("nhk,hm->nmk", re1, chf, precision=prec)
+    a_im = jnp.einsum("nhk,hm->nmk", re1, shf, precision=prec)
+    b_re = jnp.einsum("nhk,hm->nmk", im1, chf, precision=prec)
+    b_im = jnp.einsum("nhk,hm->nmk", im1, shf, precision=prec)
+    return a_re, a_im, b_re, b_im
+
+
+def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec):
+    """Inverse of :func:`_dist_rfft2_fold` from the two half-stored Hermitian
+    H-arguments (see ``spectral_scale_folded``) back to H-tiled real."""
+    ah, bh = (jnp.asarray(m) for m in _w_inv(h))
+    aw, bw = (jnp.asarray(m) for m in _w_inv(w))
+    ar = jnp.einsum("nmk,mh->nhk", pr_re, ah, precision=prec) + jnp.einsum(
+        "nmk,mh->nhk", pr_im, bh, precision=prec
+    )
+    ai = jnp.einsum("nmk,mh->nhk", pi_re, ah, precision=prec) + jnp.einsum(
+        "nmk,mh->nhk", pi_im, bh, precision=prec
+    )
+    ar = jax.lax.all_to_all(ar, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    ai = jax.lax.all_to_all(ai, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    # Drop the padded (possibly non-finite) frequency columns BEFORE the
+    # column-contracting W-inverse matmul.
+    ar, ai = ar[:, :, :wf], ai[:, :, :wf]
+    return jnp.einsum("nhk,kw->nhw", ar, aw, precision=prec) + jnp.einsum(
+        "nhk,kw->nhw", ai, bw, precision=prec
+    )
+
+
 def _col_slice(arr, axis_name, wp):
     """Slice this device's frequency-column group out of a full-width array
     (zero-padding the tail columns)."""
@@ -94,7 +152,15 @@ def _col_slice(arr, axis_name, wp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "prox", "x_bounds", "mesh", "axis_name", "adapt_rho"),
+    static_argnames=(
+        "iters",
+        "prox",
+        "x_bounds",
+        "mesh",
+        "axis_name",
+        "adapt_rho",
+        "fft_mode",
+    ),
 )
 def _tiled_solve(
     y,
@@ -109,6 +175,7 @@ def _tiled_solve(
     adapt_rho,
     mu=10.0,
     tau_scale=2.0,
+    fft_mode="xla",
 ):
     n, h, w, = y.shape
     t = mesh.shape[axis_name]
@@ -124,6 +191,10 @@ def _tiled_solve(
     prox_fn = prox_lib.resolve(prox)
     in_spec = P(None, axis_name, None)
     rep = P()  # replicated
+    folded = fft_mode in ("fold", "fold_precise")
+    prec = (
+        jax.lax.Precision.HIGH if fft_mode == "fold" else jax.lax.Precision.HIGHEST
+    )
 
     def tile_fn(y_tile, lap_full, otf_full, lam, rho):
         # Per-device cached spectra, column-sharded: (H, Wp/T).
@@ -135,6 +206,8 @@ def _tiled_solve(
             otf_cols = _col_slice(otf_full, axis_name, wp)
             denom_h = jnp.abs(otf_cols) ** 2
             b_cols = jnp.conj(otf_cols) * _dist_rfft2(y_tile, axis_name, wp)
+        if folded:
+            b_fold = fold_hermitian(b_cols)
 
         ht = y_tile.shape[1]
         # pcast: the scan carry must be typed as tile-varying from the start.
@@ -144,9 +217,22 @@ def _tiled_solve(
             x, zx, zy, ux, uy, rho_c = carry
             c_cols = 1.0 / (denom_h + rho_c * lap_cols)
             q = _grad2d_adjoint_tiled(zx - ux, zy - uy, axis_name)
-            qhat = _dist_rfft2(q, axis_name, wp)
-            xhat = c_cols * (b_cols + rho_c * qhat)
-            x = _dist_irfft2(xhat, axis_name, w, wf)
+            if folded:
+                qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(q, axis_name, wp, prec)
+                rhs = (
+                    b_fold[0] + rho_c * qa_re,
+                    b_fold[1] + rho_c * qa_im,
+                    b_fold[2] + rho_c * qb_re,
+                    b_fold[3] + rho_c * qb_im,
+                )
+                ce, co = fold_even_odd(c_cols)
+                x = _dist_irfft2_fold(
+                    *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec
+                )
+            else:
+                qhat = _dist_rfft2(q, axis_name, wp)
+                xhat = c_cols * (b_cols + rho_c * qhat)
+                x = _dist_irfft2(xhat, axis_name, w, wf)
             if x_bounds is not None:
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
             dxx, dxy = _grad2d_tiled(x, axis_name)
@@ -195,6 +281,7 @@ def tiled_tv_deconvolve(
     adapt_rho: bool = False,
     mesh: Mesh | None = None,
     axis_name: str = "tile",
+    fft_mode: str = "xla",
 ) -> jnp.ndarray:
     """ADMM TV deconvolution with the image H axis sharded over ``mesh``.
 
@@ -203,9 +290,14 @@ def tiled_tv_deconvolve(
         ``H`` must divide by the tile-axis size; ``W`` must be even.
       mesh: device mesh containing ``axis_name``; required.
       adapt_rho: residual-balanced global rho (shared across tiles via psum).
+      fft_mode: "xla" (native FFTs) or "fold"/"fold_precise" — the MXU
+        matmul DFT in the folded half-H representation, the fast path on
+        real TPU meshes (same collective bytes, DFT FLOPs on the MXU).
 
     Returns the restored image(s), same shape as input, H-sharded.
     """
+    if fft_mode not in ("xla", "fold", "fold_precise"):
+        raise ValueError(f"tiled solver fft_mode must be xla/fold/fold_precise, got {fft_mode!r}")
     if mesh is None:
         raise ValueError("tiled_tv_deconvolve requires a mesh")
     y = jnp.asarray(y)
@@ -235,6 +327,7 @@ def tiled_tv_deconvolve(
         mesh,
         axis_name,
         adapt_rho,
+        fft_mode=fft_mode,
     )
     x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
     return x.reshape(orig_shape)

@@ -43,11 +43,13 @@ def make_inputs():
 def main():
     y, psf = make_inputs()
 
-    # The MXU DFT-by-matmul path is ~2x the XLA-FFT path on TPU, and the
-    # fused Pallas stencil (D -> prox -> dual -> D^T in one VMEM pass) takes
-    # the non-DFT part of each iteration from ~3 ms to ~1.8 ms.
+    # The folded half-H MXU DFT path ("fold": Hermitian-symmetric DFT by
+    # matmul, ~26% fewer MXU FLOPs than the plain "mxu" mode) is ~2.8x the
+    # XLA-FFT path on TPU, and the fused Pallas stencil (D -> prox -> dual
+    # -> D^T in one VMEM pass) takes the non-DFT part of each iteration from
+    # ~3 ms to ~1.8 ms.
     on_tpu = jax.default_backend() != "cpu"
-    fft_mode = "mxu" if on_tpu else "xla"
+    fft_mode = "fold" if on_tpu else "xla"
     prox_impl = "pallas" if on_tpu else "xla"
 
     def solve(y):

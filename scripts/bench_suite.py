@@ -4,7 +4,7 @@
 consumes; this suite measures the whole table:
 
   1080p   — batch-4 RGB, 7x7 motion PSF, aniso TV, 50 iters
-            (XLA-FFT path and MXU+fused-Pallas path)
+            (XLA-FFT path and folded-MXU+fused-Pallas path)
   4k      — single-frame RGB, same scenario (``--full``)
   parity  — 256^2 reference scenario (lam=0.0041, rho=0.021, 100 iters):
             PSNR of the fast path vs the fp32-exact XLA path
@@ -71,7 +71,7 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() != "cpu"
-    fast_fft = "mxu" if on_tpu else "xla"
+    fast_fft = "fold" if on_tpu else "xla"
     fast_prox = "pallas" if on_tpu else "xla"
     results = []
 

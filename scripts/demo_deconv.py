@@ -69,6 +69,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--iso", action="store_true", help="isotropic TV")
     p.add_argument("--adaptive", action="store_true", help="adaptive rho + early stop")
+    p.add_argument(
+        "--fft-mode",
+        default="xla",
+        help='x-update FFT backend; "fold" is the fastest TPU mode ("xla" is '
+        "exact and CPU-friendly)",
+    )
     args = p.parse_args(argv)
 
     if args.src:
@@ -92,13 +98,13 @@ def main(argv=None):
     if args.adaptive:
         restored, diag = adt.tv_deconvolve_adaptive(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
-            max_iters=args.iters * 3, prox=prox,
+            max_iters=args.iters * 3, prox=prox, fft_mode=args.fft_mode,
         )
         extra = f" (adaptive: {int(diag.iterations)} iters, rho[0]={float(diag.rho[0]):.4f})"
     else:
         restored = adt.tv_deconvolve(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
-            iters=args.iters, prox=prox,
+            iters=args.iters, prox=prox, fft_mode=args.fft_mode,
         )
         extra = ""
     restored = jnp.clip(restored, 0.0, 1.0)

@@ -22,7 +22,15 @@ sys.path.insert(0, ".")
 
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
-from admm_deconv_tpu.ops.fft_mxu import irfft2_mxu, rfft2_mxu
+from admm_deconv_tpu.ops.fft_mxu import (
+    fold_even_odd,
+    fold_hermitian,
+    irfft2_mxu,
+    irfft2_mxu_folded,
+    rfft2_mxu,
+    rfft2_mxu_folded,
+    spectral_scale_folded,
+)
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.utils.profiling import IterationTimer
 
@@ -70,6 +78,30 @@ def full_body(zx, zy, ux, uy):
 def spectral_body(x):
     qr, qi = rfft2_mxu(x, precision=PREC)
     x = irfft2_mxu(C_SPEC * (BR + RHO * qr), C_SPEC * (BI + RHO * qi), (H, W), precision=PREC)
+    return (x,)
+
+
+def make_folded_consts():
+    ce, co = fold_even_odd(C_SPEC)
+    ba = fold_hermitian(BR + 1j * BI)
+    return ce, co, ba
+
+
+_FOLDED = jax.jit(make_folded_consts)()
+
+
+def spectral_folded_body(x):
+    ce, co, (ba_re, ba_im, bb_re, bb_im) = _FOLDED
+    qa_re, qa_im, qb_re, qb_im = rfft2_mxu_folded(x, precision=PREC)
+    rhs = (
+        ba_re + RHO * qa_re,
+        ba_im + RHO * qa_im,
+        bb_re + RHO * qb_re,
+        bb_im + RHO * qb_im,
+    )
+    x = irfft2_mxu_folded(
+        *spectral_scale_folded(rhs, ce, co), (H, W), precision=PREC
+    )
     return (x,)
 
 
@@ -122,6 +154,7 @@ def main():
 
     t_full = time_loop("full", full_body, four)
     t_spec = time_loop("spectral", spectral_body, lambda i: (plane(i),))
+    time_loop("spec_fold", spectral_folded_body, lambda i: (plane(i),))
     t_sten = time_loop("stencil", stencil_body, four)
     t_rfft = time_loop("rfft", rfft_body2, lambda i: (plane(i),))
     t_irfft = time_loop("irfft", irfft_body, spec_pair)

@@ -89,6 +89,37 @@ class TestTiledSolver:
             np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
         )
 
+    @pytest.mark.parametrize("use_psf", [False, True])
+    def test_fold_mode_matches_single_device(self, rng, mesh8, use_psf):
+        """The MXU folded-DFT distributed path (fold matmuls + real
+        all_to_alls) must agree with the single-device solver."""
+        img = _img(rng)
+        psf = None
+        if use_psf:
+            psf = np.zeros((5, 5), np.float32)
+            psf[2, :] = 0.2
+        y = jnp.asarray(img)
+        expected = tv_deconvolve(y, psf=psf, lam=0.01, rho=0.05, iters=15)
+        got = tiled_tv_deconvolve(
+            y, psf=psf, lam=0.01, rho=0.05, iters=15, mesh=mesh8,
+            fft_mode="fold_precise",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_fold_mode_adapt_rho(self, rng, mesh8):
+        img = _img(rng)
+        ref = tiled_tv_deconvolve(
+            jnp.asarray(img), None, lam=0.05, rho=5.0, iters=20, adapt_rho=True,
+            mesh=mesh8,
+        )
+        got = tiled_tv_deconvolve(
+            jnp.asarray(img), None, lam=0.05, rho=5.0, iters=20, adapt_rho=True,
+            mesh=mesh8, fft_mode="fold_precise",
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
     def test_adapt_rho_runs(self, rng, mesh8):
         img = _img(rng)
         got = tiled_tv_deconvolve(

@@ -172,6 +172,7 @@ def ADMMDeconvF1(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
+    fft_mode: str = "xla",
 ) -> ADMMDeconv:
     """Fixed lam; trainable weight/bias/rho (reference ``deconv_admm.jl:31-55``)."""
     if lam <= 0:
@@ -187,6 +188,7 @@ def ADMMDeconvF1(
         rho_init=None,
         trainable=("weight", "bias", "rho"),
         remat=remat,
+        fft_mode=fft_mode,
     )
 
 
@@ -200,6 +202,7 @@ def ADMMDeconvF2(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
+    fft_mode: str = "xla",
 ) -> ADMMDeconv:
     """Fixed rho; trainable weight/bias/lam (reference ``deconv_admm.jl:83-107``)."""
     if rho <= 0:
@@ -215,6 +218,7 @@ def ADMMDeconvF2(
         rho_init=rho,
         trainable=("weight", "bias", "lam"),
         remat=remat,
+        fft_mode=fft_mode,
     )
 
 
@@ -229,6 +233,7 @@ def ADMMDeconvF3(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
+    fft_mode: str = "xla",
 ) -> ADMMDeconv:
     """Fixed lam and rho; trainable weight/bias only (``deconv_admm.jl:135-161``)."""
     if lam <= 0:
@@ -246,4 +251,5 @@ def ADMMDeconvF3(
         rho_init=rho,
         trainable=("weight", "bias"),
         remat=remat,
+        fft_mode=fft_mode,
     )

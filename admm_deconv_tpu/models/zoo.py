@@ -92,6 +92,7 @@ class DenoiserBank(nn.Module):
     iso: bool = True
     iters: int = 50
     fused: bool = True
+    fft_mode: str = "xla"
 
     RHOS = (0.002, 0.02, 0.2, 2.0, 4.0)
 
@@ -99,7 +100,9 @@ class DenoiserBank(nn.Module):
     def __call__(self, x):
         if not self.fused:
             outs = [
-                ADMMDeconvF2((), self.iters, rho, relu1, iso=self.iso)(x)
+                ADMMDeconvF2(
+                    (), self.iters, rho, relu1, iso=self.iso, fft_mode=self.fft_mode
+                )(x)
                 for rho in self.RHOS
             ]
             return jnp.concatenate(outs, axis=-1)
@@ -126,6 +129,7 @@ class DenoiserBank(nn.Module):
             rho=rho5,
             iters=self.iters,
             prox="iso" if self.iso else "aniso",
+            fft_mode=self.fft_mode,
         )
         out = relu1(out)
         h, w, c = out.shape[1:]
@@ -146,11 +150,17 @@ class AdmmDenoiser(nn.Module):
 
     iso: bool = True
     denoiser_iters: int = 50
+    fft_mode: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         auto_denoise = Parallel(
-            (Autoencoder(), DenoiserBank(iso=self.iso, iters=self.denoiser_iters))
+            (
+                Autoencoder(),
+                DenoiserBank(
+                    iso=self.iso, iters=self.denoiser_iters, fft_mode=self.fft_mode
+                ),
+            )
         )
         core = Chain((auto_denoise, UpDownBlock((5, 5), (5, 5), 32, 32)))
         prefin = SkipConnection(core)
@@ -172,6 +182,7 @@ class MultistageUpDownscale(nn.Module):
     """
 
     iso: bool = True
+    fft_mode: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -180,6 +191,7 @@ class MultistageUpDownscale(nn.Module):
             iters=50,
             activation=lambda v: jnp.maximum(v, 0.0),
             iso=self.iso,
+            fft_mode=self.fft_mode,
         )
         ks = [(9, 9), (7, 7), (5, 5), (3, 3)]
         ud1 = UpDownBlock(ks[0], ks[0], 32, 32)
@@ -201,6 +213,7 @@ class DeconvBank(nn.Module):
 
     iso: bool = False
     iters: int = 50
+    fft_mode: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -210,7 +223,9 @@ class DeconvBank(nn.Module):
             ((15, 15), 0.4, 0.06, not self.iso),
         ]
         outs = [
-            ADMMDeconvF3(k, self.iters, lam, rho, relu6, iso=iso)(x)
+            ADMMDeconvF3(
+                k, self.iters, lam, rho, relu6, iso=iso, fft_mode=self.fft_mode
+            )(x)
             for (k, lam, rho, iso) in cfgs
         ]
         return jnp.concatenate(outs, axis=-1)
@@ -221,12 +236,13 @@ def build_model(name: str, cfg: dict | None = None) -> nn.Module:
     trainers; ``use_iso`` is the knob consumed from ``train_cfg.json``)."""
     cfg = cfg or {}
     iso = bool(cfg.get("use_iso", True))
+    fft_mode = str(cfg.get("fft_mode", "xla"))
     models = {
-        "admm_denoiser": lambda: AdmmDenoiser(iso=iso),
+        "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode),
         "autoencoder": lambda: Autoencoder(),
-        "denoiser_bank": lambda: DenoiserBank(iso=iso),
-        "multistage": lambda: MultistageUpDownscale(iso=iso),
-        "deconv_bank": lambda: DeconvBank(iso=not iso),
+        "denoiser_bank": lambda: DenoiserBank(iso=iso, fft_mode=fft_mode),
+        "multistage": lambda: MultistageUpDownscale(iso=iso, fft_mode=fft_mode),
+        "deconv_bank": lambda: DeconvBank(iso=not iso, fft_mode=fft_mode),
     }
     try:
         return models[name]()

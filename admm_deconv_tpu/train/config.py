@@ -42,6 +42,7 @@ class TrainConfig:
     mesh_batch: int = 1  # data-parallel mesh axis size (1 = single chip)
     checkpoint_every: int = 1
     keep_checkpoints: int = 3
+    fft_mode: str = "xla"  # solver x-update backend; "fold" = fastest on TPU
 
     def __post_init__(self):
         if self.batch_size < 1:

@@ -51,7 +51,7 @@ def main(argv=None):
         raise SystemExit("no training images found — check the config data paths")
 
     print(f"Building model {cfg.model}")
-    model = build_model(cfg.model, {"use_iso": cfg.use_iso})
+    model = build_model(cfg.model, {"use_iso": cfg.use_iso, "fft_mode": cfg.fft_mode})
     trainer = Trainer(model, cfg)
 
     sample_x, _ = next(iter(train_loader))

@@ -86,6 +86,18 @@ class TestZoo:
             atol=1e-6,
         )
 
+    def test_denoiser_bank_fold_mode_matches_xla(self, rng):
+        """fft_mode plumbing: the folded-DFT model equals the xla-FFT model."""
+        x = _x(rng, h=16, w=16)
+        m_x = DenoiserBank(iters=4)
+        m_f = DenoiserBank(iters=4, fft_mode="fold_precise")
+        params = m_x.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m_f.apply(params, x)),
+            np.asarray(m_x.apply(params, x)),
+            atol=1e-5,
+        )
+
     def test_denoiser_bank_fused_gradient(self, rng):
         x = _x(rng, h=16, w=16)
         m = DenoiserBank(iters=4, fused=True)

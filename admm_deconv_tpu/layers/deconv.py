@@ -61,6 +61,9 @@ class ADMMDeconv(nn.Module):
       remat: rematerialize the unrolled loop under autodiff.
       fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise" |
         "fold" | "fold_precise"); "fold" is the fastest TPU mode.
+      prox_impl: "xla" (jnp stencil composition) or "pallas" — the fused
+        one-pass D->prox->dual->D^T TPU kernel, differentiable via its
+        custom-VJP backward kernel (``ops/pallas/stencil_kernels.py``).
       diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
         (exact gradient of the truncated solver; required for trainable rho);
         "implicit" differentiates the converged fixed point with the
@@ -80,6 +83,7 @@ class ADMMDeconv(nn.Module):
     trainable: Sequence[str] = ("weight", "bias", "lam", "rho")
     remat: bool = False
     fft_mode: str = "xla"
+    prox_impl: str = "xla"
     diff_mode: str = "unroll"
     bwd_iters: int = 30
 
@@ -149,6 +153,7 @@ class ADMMDeconv(nn.Module):
                 prox="iso" if self.iso else "aniso",
                 remat=self.remat,
                 fft_mode=self.fft_mode,
+                prox_impl=self.prox_impl,
             )
         else:
             raise ValueError(
@@ -173,6 +178,7 @@ def ADMMDeconvF1(
     creg: float = 0.0,
     remat: bool = False,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
 ) -> ADMMDeconv:
     """Fixed lam; trainable weight/bias/rho (reference ``deconv_admm.jl:31-55``)."""
     if lam <= 0:
@@ -189,6 +195,7 @@ def ADMMDeconvF1(
         trainable=("weight", "bias", "rho"),
         remat=remat,
         fft_mode=fft_mode,
+        prox_impl=prox_impl,
     )
 
 
@@ -203,6 +210,7 @@ def ADMMDeconvF2(
     creg: float = 0.0,
     remat: bool = False,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
 ) -> ADMMDeconv:
     """Fixed rho; trainable weight/bias/lam (reference ``deconv_admm.jl:83-107``)."""
     if rho <= 0:
@@ -219,6 +227,7 @@ def ADMMDeconvF2(
         trainable=("weight", "bias", "lam"),
         remat=remat,
         fft_mode=fft_mode,
+        prox_impl=prox_impl,
     )
 
 
@@ -234,6 +243,7 @@ def ADMMDeconvF3(
     creg: float = 0.0,
     remat: bool = False,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
 ) -> ADMMDeconv:
     """Fixed lam and rho; trainable weight/bias only (``deconv_admm.jl:135-161``)."""
     if lam <= 0:
@@ -252,4 +262,5 @@ def ADMMDeconvF3(
         trainable=("weight", "bias"),
         remat=remat,
         fft_mode=fft_mode,
+        prox_impl=prox_impl,
     )

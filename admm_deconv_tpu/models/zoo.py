@@ -93,6 +93,7 @@ class DenoiserBank(nn.Module):
     iters: int = 50
     fused: bool = True
     fft_mode: str = "xla"
+    prox_impl: str = "xla"
 
     RHOS = (0.002, 0.02, 0.2, 2.0, 4.0)
 
@@ -101,7 +102,8 @@ class DenoiserBank(nn.Module):
         if not self.fused:
             outs = [
                 ADMMDeconvF2(
-                    (), self.iters, rho, relu1, iso=self.iso, fft_mode=self.fft_mode
+                    (), self.iters, rho, relu1, iso=self.iso,
+                    fft_mode=self.fft_mode, prox_impl=self.prox_impl,
                 )(x)
                 for rho in self.RHOS
             ]
@@ -130,6 +132,7 @@ class DenoiserBank(nn.Module):
             iters=self.iters,
             prox="iso" if self.iso else "aniso",
             fft_mode=self.fft_mode,
+            prox_impl=self.prox_impl,
         )
         out = relu1(out)
         h, w, c = out.shape[1:]
@@ -151,6 +154,7 @@ class AdmmDenoiser(nn.Module):
     iso: bool = True
     denoiser_iters: int = 50
     fft_mode: str = "xla"
+    prox_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -158,7 +162,8 @@ class AdmmDenoiser(nn.Module):
             (
                 Autoencoder(),
                 DenoiserBank(
-                    iso=self.iso, iters=self.denoiser_iters, fft_mode=self.fft_mode
+                    iso=self.iso, iters=self.denoiser_iters,
+                    fft_mode=self.fft_mode, prox_impl=self.prox_impl,
                 ),
             )
         )
@@ -183,6 +188,7 @@ class MultistageUpDownscale(nn.Module):
 
     iso: bool = True
     fft_mode: str = "xla"
+    prox_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -192,6 +198,7 @@ class MultistageUpDownscale(nn.Module):
             activation=lambda v: jnp.maximum(v, 0.0),
             iso=self.iso,
             fft_mode=self.fft_mode,
+            prox_impl=self.prox_impl,
         )
         ks = [(9, 9), (7, 7), (5, 5), (3, 3)]
         ud1 = UpDownBlock(ks[0], ks[0], 32, 32)
@@ -214,6 +221,7 @@ class DeconvBank(nn.Module):
     iso: bool = False
     iters: int = 50
     fft_mode: str = "xla"
+    prox_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -224,7 +232,8 @@ class DeconvBank(nn.Module):
         ]
         outs = [
             ADMMDeconvF3(
-                k, self.iters, lam, rho, relu6, iso=iso, fft_mode=self.fft_mode
+                k, self.iters, lam, rho, relu6, iso=iso,
+                fft_mode=self.fft_mode, prox_impl=self.prox_impl,
             )(x)
             for (k, lam, rho, iso) in cfgs
         ]
@@ -237,12 +246,13 @@ def build_model(name: str, cfg: dict | None = None) -> nn.Module:
     cfg = cfg or {}
     iso = bool(cfg.get("use_iso", True))
     fft_mode = str(cfg.get("fft_mode", "xla"))
+    prox_impl = str(cfg.get("prox_impl", "xla"))
     models = {
-        "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode),
+        "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
         "autoencoder": lambda: Autoencoder(),
-        "denoiser_bank": lambda: DenoiserBank(iso=iso, fft_mode=fft_mode),
-        "multistage": lambda: MultistageUpDownscale(iso=iso, fft_mode=fft_mode),
-        "deconv_bank": lambda: DeconvBank(iso=not iso, fft_mode=fft_mode),
+        "denoiser_bank": lambda: DenoiserBank(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
+        "multistage": lambda: MultistageUpDownscale(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
+        "deconv_bank": lambda: DeconvBank(iso=not iso, fft_mode=fft_mode, prox_impl=prox_impl),
     }
     try:
         return models[name]()

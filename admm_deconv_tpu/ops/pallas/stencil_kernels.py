@@ -27,10 +27,21 @@ passing the same operands again under block-index maps shifted by ±1 mod
 G — a 1-row-per-block redundant read, costing far less than a separate XLA
 roll materialization.
 
+``tau`` may be a scalar or a per-plane ``(N,)`` vector (SMEM-resident,
+indexed by the plane grid axis) — the per-image / per-branch threshold the
+learned layers need (e.g. the fused DenoiserBank's per-branch lam).
+
+Differentiability: :func:`fused_admm_stencil` carries a ``jax.custom_vjp``.
+The backward of D -> prox -> dual -> D^T is itself one fusable stencil with
+the same ±1-row halo structure, implemented as a second Pallas kernel
+(``_bwd_kernel``); an analytic jnp twin (``_bwd_jnp``) is the fallback when
+no valid row block exists and the oracle the tests check both against
+(``jax.grad`` of the jnp composition).  This makes the solver's fast q-carry
+path trainable — the reference's flagship use case is gradients through the
+unrolled solver (``src/layers/deconv_admm.jl:221``, ``src/train.jl:51-53``).
+
 The reference runs this section as 5+ separate CUDA broadcast/conv kernels
-(``src/ops/ops.jl:86-91``).  Not differentiable (no custom VJP): the solver
-uses it only on the non-autodiff path (``prox_impl="pallas"``); the jnp
-composition remains the gradient/reference path.
+(``src/ops/ops.jl:86-91``).
 """
 
 from __future__ import annotations
@@ -42,44 +53,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-12
+from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
+from admm_deconv_tpu.ops.pallas.prox_math import MODES, prox_apply, prox_vjp
 
-# Per-buffer VMEM block budget (bytes). 10 pipelined block buffers (7 in,
-# 3 out, double-buffered) plus kernel intermediates must fit ~16 MB.
+# Per-buffer VMEM block budget (bytes). The forward pipelines 10 block
+# buffers (7 in, 3 out, double-buffered) plus kernel intermediates into
+# ~16 MB; the backward pipelines 17, so it gets a smaller budget.
 _BLOCK_BYTES = 512 * 1024
+_BLOCK_BYTES_BWD = 256 * 1024
 
 
-def _pick_block_rows(h: int, w: int, itemsize: int = 4) -> int | None:
+def _pick_block_rows(h: int, w: int, itemsize: int = 4, budget: int = _BLOCK_BYTES) -> int | None:
     """Largest divisor of ``h`` that is a multiple of 8 and fits the
     per-buffer budget; None if no usable block exists."""
     best = None
     for bm in range(8, h + 1, 8):
-        if h % bm == 0 and bm * w * itemsize <= _BLOCK_BYTES:
+        if h % bm == 0 and bm * w * itemsize <= budget:
             best = bm
     return best
 
 
-def _prox(mode, vx, vy, tau):
-    if mode == "aniso":
-        zx = jnp.sign(vx) * jnp.maximum(jnp.abs(vx) - tau, 0.0)
-        zy = jnp.sign(vy) * jnp.maximum(jnp.abs(vy) - tau, 0.0)
-    elif mode == "iso":
-        r = jnp.sqrt(vx * vx + vy * vy)
-        scale = jnp.maximum(1.0 - tau / jnp.maximum(r, _EPS), 0.0)
-        zx, zy = scale * vx, scale * vy
-    elif mode == "hard":
-        zx = vx * (jnp.abs(vx) > tau)
-        zy = vy * (jnp.abs(vy) > tau)
-    elif mode == "gauss":
-        r2 = vx * vx + vy * vy
-        scale = 0.5 - 0.5 * jnp.exp(-r2 / (2.0 * tau * tau))
-        zx, zy = scale * vx, scale * vy
-    else:  # pragma: no cover - guarded by caller
-        raise ValueError(f"unknown prox mode {mode!r}")
-    return zx, zy
+def _default_interpret(interpret: bool | None) -> bool:
+    """Pallas TPU kernels run in interpreter mode on CPU backends, so the
+    whole solver (incl. ``prox_impl="pallas"``) is testable off-TPU."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
 
 
-def _kernel(
+def _tau_plane_vector(tau, n: int, dtype):
+    """Canonicalize tau to ``()`` or ``(N,)``; None if not representable."""
+    tau = jnp.asarray(tau, dtype)
+    if tau.ndim == 0:
+        return tau
+    flat = tau.reshape(-1)
+    if flat.shape[0] == 1:
+        return flat[0]
+    if flat.shape[0] == n and tau.size == n:
+        return flat
+    return None
+
+
+def _fwd_kernel(
     mode,
     tau_ref,
     xp_ref,
@@ -93,7 +108,7 @@ def _kernel(
     uxo_ref,
     uyo_ref,
 ):
-    tau = tau_ref[0, 0]
+    tau = tau_ref[pl.program_id(0), 0]
     xc = xc_ref[0]  # (BM, W) rows [r0, r1)
     # Extended x rows [r0-1, r1]: last row of the block above, the block,
     # first row of the block below (index maps wrap mod G -> exact circular).
@@ -105,7 +120,7 @@ def _kernel(
     uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0)
     vx = dxx + ux_e
     vy = dxy + uy_e
-    zx, zy = _prox(mode, vx, vy, tau)
+    zx, zy = prox_apply(mode, vx, vy, tau)
     ux_new = vx - zx
     uy_new = vy - zy
     wx = zx - ux_new  # = 2 z - v, the next rhs's spatial argument
@@ -117,47 +132,84 @@ def _kernel(
     uyo_ref[0] = uy_new[:-1]
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
-def fused_admm_stencil(
-    x: jnp.ndarray,
-    ux: jnp.ndarray,
-    uy: jnp.ndarray,
-    tau,
-    mode: str = "aniso",
-    interpret: bool = False,
+def _bwd_kernel(
+    mode,
+    tau_ref,
+    gqp_ref,
+    gqc_ref,
+    gqn_ref,
+    xp_ref,
+    xc_ref,
+    xn_ref,
+    uxc_ref,
+    uxn_ref,
+    uyc_ref,
+    uyn_ref,
+    gxc_ref,
+    gxn_ref,
+    gyc_ref,
+    gyn_ref,
+    xbar_ref,
+    uxbar_ref,
+    uybar_ref,
+    taub_ref,
 ):
-    """One-pass D -> prox -> dual -> D^T over ``(N, H, W)`` planes.
+    """VJP of the forward stencil, one VMEM pass.
 
-    Semantically identical to::
-
-        dxx, dxy = grad2d(x)
-        zx, zy, ux2, uy2 = prox_dual_step(dxx, dxy, ux, uy, tau, prox)
-        q = grad2d_adjoint(zx - ux2, zy - uy2)
-        return q, ux2, uy2
-
-    for scalar ``tau`` and plain ADMM (no over-relaxation).  Raises
-    ``ValueError`` when no valid row block exists (caller falls back to the
-    jnp composition).
-
-    Returns ``(q, ux_new, uy_new)``.
+    With residuals (x, ux, uy, tau) and cotangents (gq, gux, guy):
+      wb   = D gq                       (adjoint of q = D^T w)
+      zb   = 2 wb - gu                  (w = 2z - v; u' = v - z)
+      vb   = gu - wb + J_prox(v,tau)^T zb
+      xbar = D^T vb;  ubar = vb;  taub = sum (dz/dtau)^T zb
+    All quantities are needed on rows [r0, r1] (one extra row below, since
+    ``D^T vb`` consumes vb[i+1]); wb and v need one extra row above of
+    gq / x respectively — the same ±1 halo pattern as the forward.
     """
-    if x.ndim != 3:
-        raise ValueError(f"expected (N, H, W), got {x.shape}")
+    tau = tau_ref[pl.program_id(0), 0]
+    # v on rows [r0, r1] (recomputed from x, u — cheaper than saving it).
+    x_ext = jnp.concatenate([xp_ref[0, -1:], xc_ref[0], xn_ref[0, :1]], axis=0)
+    x_lo = x_ext[1:]
+    dxy = x_lo - x_ext[:-1]
+    dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
+    ux_e = jnp.concatenate([uxc_ref[0], uxn_ref[0, :1]], axis=0)
+    uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0)
+    vx = dxx + ux_e
+    vy = dxy + uy_e
+    # wb = D gq on rows [r0, r1].
+    gq_ext = jnp.concatenate([gqp_ref[0, -1:], gqc_ref[0], gqn_ref[0, :1]], axis=0)
+    gq_lo = gq_ext[1:]
+    wby = gq_lo - gq_ext[:-1]
+    wbx = gq_lo - pltpu.roll(gq_lo, 1, axis=1)
+    gx_e = jnp.concatenate([gxc_ref[0], gxn_ref[0, :1]], axis=0)
+    gy_e = jnp.concatenate([gyc_ref[0], gyn_ref[0, :1]], axis=0)
+    zbx = 2.0 * wbx - gx_e
+    zby = 2.0 * wby - gy_e
+    pvx, pvy, taub = prox_vjp(mode, vx, vy, tau, zbx, zby)
+    vbx = gx_e - wbx + pvx
+    vby = gy_e - wby + pvy
+    vbx0 = vbx[:-1]
+    xbar_ref[0] = (vbx0 - pltpu.roll(vbx0, vbx0.shape[1] - 1, axis=1)) + (
+        vby[:-1] - vby[1:]
+    )
+    uxbar_ref[0] = vbx0
+    uybar_ref[0] = vby[:-1]
+    # taub_ref is the full (N, G) SMEM partial-sum table (TPU lowering
+    # requires SMEM output blocks to equal the array shape); each grid step
+    # writes exactly its own cell.
+    taub_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(taub[:-1])
+
+
+def _fwd_pallas(x, ux, uy, tau_n1, mode, interpret):
     n, h, w = x.shape
     bm = _pick_block_rows(h, w, x.dtype.itemsize)
-    if bm is None:
-        raise ValueError(f"no usable row block for H={h}, W={w}")
     g = h // bm
-
-    tau_arr = jnp.asarray(tau, x.dtype).reshape(1, 1)
     grid = (n, g)
     blk = lambda off: pl.BlockSpec(  # noqa: E731
         (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype)
-
-    q, ux2, uy2 = pl.pallas_call(
-        functools.partial(_kernel, mode),
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -172,5 +224,137 @@ def fused_admm_stencil(
         out_specs=(blk(0), blk(0), blk(0)),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(tau_arr, x, x, x, ux, ux, uy, uy)
-    return q, ux2, uy2
+    )(tau_n1, x, x, x, ux, ux, uy, uy)
+
+
+def _bwd_pallas(x, ux, uy, tau_n1, gq, gux, guy, mode, interpret):
+    n, h, w = x.shape
+    bm = _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_BWD)
+    g = h // bm
+    grid = (n, g)
+    blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype)
+    taub_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    xbar, uxbar, uybar, taub = pl.pallas_call(
+        functools.partial(_bwd_kernel, mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(-1),  # gq above
+            blk(0),  # gq
+            blk(1),  # gq below
+            blk(-1),  # x above
+            blk(0),  # x
+            blk(1),  # x below
+            blk(0),  # ux
+            blk(1),  # ux below
+            blk(0),  # uy
+            blk(1),  # uy below
+            blk(0),  # gux
+            blk(1),  # gux below
+            blk(0),  # guy
+            blk(1),  # guy below
+        ],
+        out_specs=(blk(0), blk(0), blk(0), taub_spec),
+        out_shape=(
+            out_shape,
+            out_shape,
+            out_shape,
+            jax.ShapeDtypeStruct((n, g), x.dtype),
+        ),
+        interpret=interpret,
+    )(tau_n1, gq, gq, gq, x, x, x, ux, ux, uy, uy, gux, gux, guy, guy)
+    return xbar, uxbar, uybar, jnp.sum(taub, axis=1)
+
+
+def _bwd_jnp(x, ux, uy, tau, gq, gux, guy, mode):
+    """Analytic jnp backward (fallback / oracle; same math as _bwd_kernel)."""
+    tau_b = tau if jnp.ndim(tau) == 0 else tau[:, None, None]
+    dxx, dxy = grad2d(x)
+    vx, vy = dxx + ux, dxy + uy
+    wbx, wby = grad2d(gq)
+    zbx = 2.0 * wbx - gux
+    zby = 2.0 * wby - guy
+    pvx, pvy, taub = prox_vjp(mode, vx, vy, tau_b, zbx, zby)
+    vbx = gux - wbx + pvx
+    vby = guy - wby + pvy
+    xbar = grad2d_adjoint(vbx, vby)
+    taub_sum = jnp.sum(taub, axis=(-2, -1))
+    return xbar, vbx, vby, taub_sum
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_stencil(mode: str, interpret: bool):
+    """custom_vjp closure per (mode, interpret): Pallas forward + fused
+    Pallas backward (jnp fallback when no backward block fits)."""
+
+    @jax.custom_vjp
+    def f(x, ux, uy, tau):
+        tau_n1 = jnp.broadcast_to(
+            jnp.asarray(tau, x.dtype).reshape(-1, 1), (x.shape[0], 1)
+        )
+        return _fwd_pallas(x, ux, uy, tau_n1, mode, interpret)
+
+    def fwd(x, ux, uy, tau):
+        return f(x, ux, uy, tau), (x, ux, uy, tau)
+
+    def bwd(res, cts):
+        x, ux, uy, tau = res
+        gq, gux, guy = cts
+        n, h, w = x.shape
+        if _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_BWD) is not None:
+            tau_n1 = jnp.broadcast_to(
+                jnp.asarray(tau, x.dtype).reshape(-1, 1), (n, 1)
+            )
+            xbar, uxbar, uybar, taub = _bwd_pallas(
+                x, ux, uy, tau_n1, gq, gux, guy, mode, interpret
+            )
+        else:
+            xbar, uxbar, uybar, taub = _bwd_jnp(x, ux, uy, tau, gq, gux, guy, mode)
+        taub = jnp.sum(taub) if jnp.ndim(tau) == 0 else taub
+        return xbar, uxbar, uybar, taub.astype(jnp.asarray(tau).dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_admm_stencil(
+    x: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    tau,
+    mode: str = "aniso",
+    interpret: bool | None = None,
+):
+    """One-pass D -> prox -> dual -> D^T over ``(N, H, W)`` planes.
+
+    Semantically identical to::
+
+        dxx, dxy = grad2d(x)
+        zx, zy, ux2, uy2 = prox_dual_step(dxx, dxy, ux, uy, tau, prox)
+        q = grad2d_adjoint(zx - ux2, zy - uy2)
+        return q, ux2, uy2
+
+    for plain ADMM (no over-relaxation).  ``tau`` is a scalar or a per-plane
+    ``(N,)`` / ``(N,1,1)`` vector.  Differentiable in (x, ux, uy, tau) via a
+    fused backward kernel.  Raises ``ValueError`` when no valid row block
+    exists (caller falls back to the jnp composition).  ``interpret=None``
+    auto-enables interpreter mode on CPU backends.
+
+    Returns ``(q, ux_new, uy_new)``.
+    """
+    if x.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {x.shape}")
+    if mode not in MODES:
+        raise ValueError(f"unknown prox mode {mode!r}; expected one of {MODES}")
+    n, h, w = x.shape
+    if _pick_block_rows(h, w, x.dtype.itemsize) is None:
+        raise ValueError(f"no usable row block for H={h}, W={w}")
+    tau_c = _tau_plane_vector(tau, n, x.dtype)
+    if tau_c is None:
+        raise ValueError(
+            f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
+        )
+    return _make_diff_stencil(mode, _default_interpret(interpret))(x, ux, uy, tau_c)

@@ -103,31 +103,43 @@ _PALLAS_PROX_MODES = {
 }
 
 
-def _make_prox_step(prox, prox_impl, tau):
-    """Return a (dxx, dxy, ux, uy) -> (zx, zy, ux', uy') step function.
+def _tau_for_pallas(tau):
+    """Canonicalize tau for the Pallas kernels: a scalar stays scalar, a
+    per-plane ``(N, 1, 1)`` broadcast form becomes ``(N,)``; None if the
+    shape is not kernel-representable (shape checks are static)."""
+    if jnp.ndim(tau) == 0:
+        return tau
+    t = jnp.asarray(tau)
+    if t.ndim == 3 and t.shape[1:] == (1, 1):
+        return t[:, 0, 0]
+    return None
+
+
+def _make_prox_step(prox, prox_impl):
+    """Return a (dxx, dxy, ux, uy, tau) -> (zx, zy, ux', uy') step function.
 
     ``prox_impl="pallas"`` uses the fused one-pass TPU kernel when the prox
-    is a named operator and ``tau`` is scalar; anything else falls back to
-    the fused-by-XLA jnp composition.
+    is a named operator and ``tau`` is scalar or per-plane; anything else
+    falls back to the fused-by-XLA jnp composition.  Both paths are
+    differentiable (the kernel carries a custom VJP).
     """
-    if (
-        prox_impl == "pallas"
-        and isinstance(prox, str)
-        and prox in _PALLAS_PROX_MODES
-        and jnp.ndim(tau) == 0
-    ):
+    if prox_impl == "pallas" and isinstance(prox, str) and prox in _PALLAS_PROX_MODES:
         from admm_deconv_tpu.ops.pallas.prox_kernels import fused_prox_dual
 
         mode = _PALLAS_PROX_MODES[prox]
+        prox_fn = prox_lib.resolve(prox)
 
-        def step(dxx, dxy, ux, uy):
-            return fused_prox_dual(dxx, dxy, ux, uy, tau, mode=mode)
+        def step(dxx, dxy, ux, uy, tau):
+            t = _tau_for_pallas(tau)
+            if t is None:
+                return prox_lib.prox_dual_step(dxx, dxy, ux, uy, tau, prox_fn)
+            return fused_prox_dual(dxx, dxy, ux, uy, t, mode=mode)
 
         return step
 
     prox_fn = prox_lib.resolve(prox)
 
-    def step(dxx, dxy, ux, uy):
+    def step(dxx, dxy, ux, uy, tau):
         return prox_lib.prox_dual_step(dxx, dxy, ux, uy, tau, prox_fn)
 
     return step
@@ -382,7 +394,7 @@ def tv_deconvolve(
         y, psf, lam, rho, fft_mode
     )
     tau = lam_f / rho_f
-    prox_step = _make_prox_step(prox, prox_impl, tau)
+    prox_step = _make_prox_step(prox, prox_impl)
     c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
 
     n = b * c
@@ -398,12 +410,13 @@ def tv_deconvolve(
     # loop below (same q/x sequence by induction).
     if not return_diagnostics and not return_state and iters >= 1:
         use_pallas_stencil = False
+        tau_kernel = _tau_for_pallas(tau)
         if (
             prox_impl == "pallas"
             and alpha == 1.0
             and isinstance(prox, str)
             and prox in _PALLAS_PROX_MODES
-            and jnp.ndim(tau) == 0
+            and tau_kernel is not None
         ):
             from admm_deconv_tpu.ops.pallas.stencil_kernels import _pick_block_rows
 
@@ -437,7 +450,7 @@ def tv_deconvolve(
             if x_bounds is not None:
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
             if alpha == 1.0 and use_pallas_stencil:
-                q, ux, uy = fused_admm_stencil(x, ux, uy, tau, mode=mode)
+                q, ux, uy = fused_admm_stencil(x, ux, uy, tau_kernel, mode=mode)
                 return (q, ux, uy), None
             dxx, dxy = grad2d(x)
             if alpha != 1.0:
@@ -445,7 +458,7 @@ def tv_deconvolve(
                 rxy = alpha * dxy + (1.0 - alpha) * zy_prev
             else:
                 rxx, rxy = dxx, dxy
-            zx, zy, ux, uy = prox_step(rxx, rxy, ux, uy)
+            zx, zy, ux, uy = prox_step(rxx, rxy, ux, uy, tau)
             q = grad2d_adjoint(zx - ux, zy - uy)
             if alpha == 1.0:
                 return (q, ux, uy), None
@@ -489,7 +502,7 @@ def tv_deconvolve(
             rxy = alpha * dxy + (1.0 - alpha) * state.zy
         else:
             rxx, rxy = dxx, dxy
-        zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy)
+        zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
         new_state = ADMMState(x, zx, zy, ux, uy)
         if return_diagnostics:
             r = jnp.sqrt(
@@ -531,6 +544,7 @@ def tv_deconvolve(
         "adapt_rho",
         "check_every",
         "fft_mode",
+        "prox_impl",
         "alpha",
         "return_state",
     ),
@@ -550,6 +564,7 @@ def tv_deconvolve_adaptive(
     tau_scale: float = 2.0,
     check_every: int = 1,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_state: bool = False,
@@ -561,14 +576,27 @@ def tv_deconvolve_adaptive(
     (``r <= eps_pri``, ``s <= eps_dual``) and penalty adaptation
     (``rho *= tau`` when ``r > mu*s``, with the scaled dual rescaled
     accordingly).  ``C`` is re-formed from the cached spectra on the fly.
+
+    ``check_every > 1`` computes residual norms / stopping / rho adaptation
+    only every k-th iteration (``max_iters`` must divide evenly), cutting the
+    per-iteration norm reductions and letting the cached ``c_spec`` serve k
+    iterations between rho updates.  ``prox_impl="pallas"`` runs the fused
+    prox+dual kernel with the per-image tau vector.
+
     Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
     learned-layer path.
 
-    Returns ``(x, ADMMDiagnostics)``.
+    Returns ``(x, ADMMDiagnostics)`` where the diagnostics carry the TRUE
+    final primal and dual residual norms from the last convergence check.
     """
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
-    prox_fn = prox_lib.resolve(prox)
+    if check_every < 1 or max_iters % check_every != 0:
+        raise ValueError(
+            f"check_every ({check_every}) must be >= 1 and divide "
+            f"max_iters ({max_iters})"
+        )
+    prox_step = _make_prox_step(prox, prox_impl)
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
     y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
@@ -582,11 +610,11 @@ def tv_deconvolve_adaptive(
     sqrt_n = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y_f.dtype))
 
     def cond(carry):
-        state, rho_cur, it, done = carry
+        state, rho_cur, it, done, _r, _s = carry
         return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done)))
 
-    def body(carry):
-        state, rho_cur, it, _ = carry
+    def one_iter(state, rho_cur, tau):
+        """One plain ADMM iteration (no residuals)."""
         c_spec = _form_cspec(denom_h, lap, rho_cur, fft_mode)
         x = _x_update(
             b_f,
@@ -607,12 +635,23 @@ def tv_deconvolve_adaptive(
             rxy = alpha * dxy + (1.0 - alpha) * state.zy
         else:
             rxx, rxy = dxx, dxy
+        zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
+        return ADMMState(x, zx, zy, ux, uy), dxx, dxy
+
+    def body(carry):
+        state, rho_cur, it, _done, _r, _s = carry
         tau = lam0 / rho_cur
-        zx, zy, ux, uy = prox_lib.prox_dual_step(rxx, rxy, state.ux, state.uy, tau, prox_fn)
+        # check_every - 1 cheap iterations: rho (and hence c_spec / tau)
+        # stays fixed between checks, so no norms are computed.
+        for _ in range(check_every - 1):
+            state, _, _ = one_iter(state, rho_cur, tau)
+        z_prev_x, z_prev_y = state.zx, state.zy
+        state, dxx, dxy = one_iter(state, rho_cur, tau)
+        zx, zy, ux, uy = state.zx, state.zy, state.ux, state.uy
 
         # Per-image residual norms (psum-able across spatial tiles).
         r_norm = jnp.sqrt(jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1)))
-        dz = grad2d_adjoint(zx - state.zx, zy - state.zy)
+        dz = grad2d_adjoint(zx - z_prev_x, zy - z_prev_y)
         rho_v = rho_cur[:, 0, 0]
         s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
 
@@ -634,27 +673,25 @@ def tv_deconvolve_adaptive(
             # Rescaling rho rescales the *scaled* dual u = (1/rho) * dual.
             ux = ux / factor
             uy = uy / factor
+            state = ADMMState(state.x, zx, zy, ux, uy)
         else:
             rho_new = rho_cur
 
-        new_state = ADMMState(x, zx, zy, ux, uy)
-        return (new_state, rho_new, it + 1, done)
+        return (state, rho_new, it + check_every, done, r_norm, s_norm)
 
     state0 = (
         init_state
         if init_state is not None
         else ADMMState(zeros, zeros, zeros, zeros, zeros)
     )
-    init = (state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool))
-    state, rho_fin, it, done = jax.lax.while_loop(cond, body, init)
+    norms0 = jnp.full((n,), jnp.inf, dtype=y_f.dtype)
+    init = (state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool), norms0, norms0)
+    state, rho_fin, it, done, r_norm, s_norm = jax.lax.while_loop(cond, body, init)
 
-    # Final residuals for reporting.
-    dxx, dxy = grad2d(state.x)
-    r_norm = jnp.sqrt(jnp.sum((dxx - state.zx) ** 2 + (dxy - state.zy) ** 2, axis=(-2, -1)))
     x = _unfold(state.x, b, c).reshape(orig_shape)
     diags = ADMMDiagnostics(
         r_norm=r_norm,
-        s_norm=jnp.zeros_like(r_norm),
+        s_norm=s_norm,
         iterations=it,
         rho=rho_fin[:, 0, 0],
     )

@@ -43,6 +43,7 @@ class TrainConfig:
     checkpoint_every: int = 1
     keep_checkpoints: int = 3
     fft_mode: str = "xla"  # solver x-update backend; "fold" = fastest on TPU
+    prox_impl: str = "xla"  # "pallas" = fused stencil kernel (fast TPU path)
 
     def __post_init__(self):
         if self.batch_size < 1:

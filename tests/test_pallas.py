@@ -1,6 +1,12 @@
 """Pallas TPU kernels, validated in interpreter mode against the jnp
 reference compositions, plus the solver's q-carry fast path (SURVEY.md §2.9:
-the reference's CUDA broadcast-kernel surface maps to these fused kernels)."""
+the reference's CUDA broadcast-kernel surface maps to these fused kernels).
+
+Gradient tests check the kernels' custom-VJP backward (the fused Pallas
+backward kernel AND the analytic jnp fallback) against ``jax.grad`` of the
+jnp composition — the capability the reference exercises by Zygote
+reverse-mode through its unrolled loop (``src/layers/deconv_admm.jl:221``).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +17,7 @@ from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.pallas.prox_kernels import fused_prox_dual
 from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+    _bwd_jnp,
     _pick_block_rows,
     fused_admm_stencil,
 )
@@ -23,14 +30,31 @@ def _mk(rng, shape):
     return jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
 
+def _tau_bcast(tau):
+    return tau if jnp.ndim(tau) == 0 else tau[:, None, None]
+
+
+def _jnp_stencil(x, ux, uy, tau, mode):
+    dxx, dxy = grad2d(x)
+    zx, zy, ux2, uy2 = prox_lib.prox_dual_step(
+        dxx, dxy, ux, uy, _tau_bcast(tau), prox_lib.resolve(mode)
+    )
+    q = grad2d_adjoint(zx - ux2, zy - uy2)
+    return q, ux2, uy2
+
+
 @pytest.mark.parametrize("mode", MODES)
-def test_fused_prox_dual_matches_jnp(rng, mode):
+@pytest.mark.parametrize("per_plane", [False, True], ids=["scalar", "vector"])
+def test_fused_prox_dual_matches_jnp(rng, mode, per_plane):
     shape = (2, 40, 256)
     dxx, dxy, ux, uy = (_mk(rng, shape) for _ in range(4))
-    tau = 0.3
+    tau = (
+        jnp.asarray(rng.uniform(0.1, 0.5, (2,)), jnp.float32) if per_plane else 0.3
+    )
     got = fused_prox_dual(dxx, dxy, ux, uy, tau, mode=mode, interpret=True)
     want = prox_lib.prox_dual_step(
-        dxx, dxy, ux, uy, tau, prox_lib.resolve(mode)
+        dxx, dxy, ux, uy, _tau_bcast(jnp.asarray(tau, jnp.float32)),
+        prox_lib.resolve(mode),
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
@@ -42,14 +66,109 @@ def test_fused_admm_stencil_matches_jnp(rng, mode, shape):
     x, ux, uy = (_mk(rng, shape) for _ in range(3))
     tau = 0.3
     q, ux2, uy2 = fused_admm_stencil(x, ux, uy, tau, mode=mode, interpret=True)
-    dxx, dxy = grad2d(x)
-    zx, zy, ux_r, uy_r = prox_lib.prox_dual_step(
-        dxx, dxy, ux, uy, tau, prox_lib.resolve(mode)
-    )
-    q_r = grad2d_adjoint(zx - ux_r, zy - uy_r)
+    q_r, ux_r, uy_r = _jnp_stencil(x, ux, uy, jnp.asarray(tau), mode)
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ux2), np.asarray(ux_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(uy2), np.asarray(uy_r), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_admm_stencil_per_plane_tau(rng, mode):
+    shape = (3, 24, 128)
+    x, ux, uy = (_mk(rng, shape) for _ in range(3))
+    tau = jnp.asarray(rng.uniform(0.1, 0.5, (3,)), jnp.float32)
+    got = fused_admm_stencil(x, ux, uy, tau, mode=mode, interpret=True)
+    want = _jnp_stencil(x, ux, uy, tau, mode)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+    # (N,1,1) broadcast form accepted too
+    got2 = fused_admm_stencil(
+        x, ux, uy, tau[:, None, None], mode=mode, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got2[0]), np.asarray(want[0]), atol=1e-5)
+
+
+class TestStencilVJP:
+    """Custom-VJP backward (Pallas kernel + jnp fallback) vs jax.grad of the
+    jnp composition."""
+
+    @pytest.mark.parametrize("mode", MODES)
+    @pytest.mark.parametrize("per_plane", [False, True], ids=["scalar", "vector"])
+    def test_grad_matches_jnp_composition(self, rng, mode, per_plane):
+        shape = (2, 24, 128)
+        x, ux, uy = (_mk(rng, shape) for _ in range(3))
+        tau = (
+            jnp.asarray(rng.uniform(0.1, 0.5, (2,)), jnp.float32)
+            if per_plane
+            else jnp.asarray(0.3)
+        )
+        cq, cux, cuy = (_mk(rng, shape) for _ in range(3))
+
+        def loss(fn, x, ux, uy, t):
+            q, a, b = fn(x, ux, uy, t)
+            return jnp.sum(q * cq) + jnp.sum(a * cux) + jnp.sum(b * cuy)
+
+        gp = jax.grad(
+            lambda *a: loss(
+                lambda *b: fused_admm_stencil(*b, mode=mode, interpret=True), *a
+            ),
+            argnums=(0, 1, 2, 3),
+        )(x, ux, uy, tau)
+        gj = jax.grad(
+            lambda *a: loss(lambda *b: _jnp_stencil(*b, mode), *a),
+            argnums=(0, 1, 2, 3),
+        )(x, ux, uy, tau)
+        for a, b in zip(gp, gj):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            )
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_bwd_jnp_fallback_matches_kernel(self, rng, mode):
+        """The analytic jnp backward (used when no bwd block fits) agrees
+        with the Pallas backward kernel."""
+        shape = (2, 24, 128)
+        x, ux, uy, gq, gux, guy = (_mk(rng, shape) for _ in range(6))
+        tau = jnp.asarray(0.25)
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import _bwd_pallas
+
+        tau_n1 = jnp.broadcast_to(tau.reshape(-1, 1), (2, 1))
+        kb = _bwd_pallas(x, ux, uy, tau_n1, gq, gux, guy, mode, True)
+        jb = _bwd_jnp(x, ux, uy, tau, gq, gux, guy, mode)
+        for a, b in zip(kb[:3], jb[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(
+            float(jnp.sum(kb[3])), float(jnp.sum(jb[3])), rtol=1e-3, atol=1e-3
+        )
+
+    @pytest.mark.parametrize("mode", MODES)
+    @pytest.mark.parametrize("per_plane", [False, True], ids=["scalar", "vector"])
+    def test_prox_dual_grad_matches(self, rng, mode, per_plane):
+        shape = (2, 40, 256)
+        dxx, dxy, ux, uy = (_mk(rng, shape) for _ in range(4))
+        tau = (
+            jnp.asarray(rng.uniform(0.1, 0.5, (2,)), jnp.float32)
+            if per_plane
+            else jnp.asarray(0.3)
+        )
+        cts = [_mk(rng, shape) for _ in range(4)]
+
+        def loss_p(dxx, dxy, ux, uy, t):
+            outs = fused_prox_dual(dxx, dxy, ux, uy, t, mode=mode, interpret=True)
+            return sum(jnp.sum(o * c) for o, c in zip(outs, cts))
+
+        def loss_j(dxx, dxy, ux, uy, t):
+            outs = prox_lib.prox_dual_step(
+                dxx, dxy, ux, uy, _tau_bcast(t), prox_lib.resolve(mode)
+            )
+            return sum(jnp.sum(o * c) for o, c in zip(outs, cts))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(dxx, dxy, ux, uy, tau)
+        gj = jax.grad(loss_j, argnums=(0, 1, 2, 3, 4))(dxx, dxy, ux, uy, tau)
+        for a, b in zip(gp, gj):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            )
 
 
 def test_pick_block_rows():
@@ -57,6 +176,67 @@ def test_pick_block_rows():
     assert 1080 % _pick_block_rows(1080, 1920) == 0
     assert _pick_block_rows(1080, 1920) % 8 == 0
     assert _pick_block_rows(7, 128) is None  # no multiple-of-8 divisor
+
+
+class TestSolverPallasPath:
+    """tv_deconvolve(prox_impl='pallas') — forward and gradient parity with
+    the jnp path (on CPU the kernels auto-run in interpreter mode)."""
+
+    @pytest.fixture
+    def problem(self, rng):
+        y = jnp.asarray(rng.random((2, 32, 128, 3)), jnp.float32)
+        psf = np.zeros((5, 5), np.float32)
+        psf[2, :] = 1 / 5
+        return y, jnp.asarray(psf)
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            {"lam": 0.01},
+            {"lam": np.asarray([0.01, 0.02], np.float32)},
+            {"lam": 0.01, "prox": "iso"},
+        ],
+        ids=["scalar_lam", "per_image_lam", "iso"],
+    )
+    def test_forward_matches_xla(self, problem, kwargs):
+        y, psf = problem
+        xp = tv_deconvolve(y, psf=psf, rho=0.1, iters=9, prox_impl="pallas", **kwargs)
+        xx = tv_deconvolve(y, psf=psf, rho=0.1, iters=9, prox_impl="xla", **kwargs)
+        np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), atol=3e-6)
+
+    @pytest.mark.parametrize("lam_shape", ["scalar", "vector"])
+    def test_gradient_matches_xla(self, problem, lam_shape):
+        y, psf = problem
+        lam = (
+            jnp.asarray(0.01)
+            if lam_shape == "scalar"
+            else jnp.asarray([0.01, 0.02], jnp.float32)
+        )
+
+        def loss(impl, lam, y):
+            out = tv_deconvolve(
+                y, psf=psf, lam=lam, rho=0.1, iters=6, prox_impl=impl
+            )
+            return jnp.sum(out**2)
+
+        gp = jax.grad(loss, argnums=(1, 2))("pallas", lam, y)
+        gx = jax.grad(loss, argnums=(1, 2))("xla", lam, y)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-4
+            )
+
+    def test_remat_pallas_grad_finite(self, problem):
+        y, psf = problem
+        g = jax.grad(
+            lambda yy: jnp.sum(
+                tv_deconvolve(
+                    yy, psf=psf, lam=0.01, rho=0.1, iters=5,
+                    remat=True, prox_impl="pallas",
+                )
+            )
+        )(y)
+        assert bool(jnp.all(jnp.isfinite(g)))
 
 
 class TestFastPathEquivalence:

@@ -6,6 +6,7 @@ from admm_deconv_tpu.data.dataset import (
     add_awgn,
     add_poisson_gaussian,
     generate_awgn_dataset,
+    generate_awgn_splits,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "add_awgn",
     "add_poisson_gaussian",
     "generate_awgn_dataset",
+    "generate_awgn_splits",
 ]

@@ -71,3 +71,33 @@ def generate_awgn_dataset(
         save_image(os.path.join(x_dest, name), noisy)
         shutil.copy(path, os.path.join(y_dest, name))
     return len(paths)
+
+
+def generate_awgn_splits(
+    train_src: str,
+    test_src: str,
+    dest_root: str,
+    min_sigma: float = 25.0,
+    max_sigma: float = 25.0,
+    extension: str = ".png",
+    seed: int = 0,
+) -> dict[str, int]:
+    """One-command train+test dual-split build — the reference's
+    ``add_gopro`` (``make_dataset.jl:54-96``) builds both splits in a single
+    run under ``awgn_<min>_<max>/{train,test}/{x,y}``; same layout here,
+    minus its hardcoded Windows source paths.  Returns pair counts per
+    split."""
+    dset_dir = os.path.join(
+        dest_root, f"awgn_{min_sigma:g}_{max_sigma:g}"
+    )
+    counts = {}
+    for split, src in (("train", train_src), ("test", test_src)):
+        counts[split] = generate_awgn_dataset(
+            src,
+            os.path.join(dset_dir, split),
+            min_sigma=min_sigma,
+            max_sigma=max_sigma,
+            extension=extension,
+            seed=seed + (0 if split == "train" else 1),
+        )
+    return counts

@@ -11,41 +11,14 @@ training loss by the reference's trainer v1 (``src/train.jl:191``).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
-# Rows [1 2 1; 0 0 0; -1 -2 -1]/8 — the reference's SOBEL_KERNEL_X
-# (iqa_utils.jl:12-16, columns cat'ed along dim 2); "_Y" is its transpose.
-SOBEL_X = np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=np.float64) / 8.0
-SOBEL_Y = SOBEL_X.T
-
-
-def _sobel_grads(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-channel Sobel responses with circular (wrap) padding, NHWC."""
-    c = x.shape[-1]
-    kx = jnp.asarray(SOBEL_X[:, :, None, None], dtype=x.dtype)
-    ky = jnp.asarray(SOBEL_Y[:, :, None, None], dtype=x.dtype)
-    kx = jnp.tile(kx, (1, 1, 1, c))
-    ky = jnp.tile(ky, (1, 1, 1, c))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
-
-    def conv(inp, k):
-        return jax.lax.conv_general_dilated(
-            inp,
-            k,
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    return conv(xp, kx), conv(xp, ky)
-
-
-def _gradient_magnitude(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(gx * gx + gy * gy + 1e-16)
+from admm_deconv_tpu.metrics.iqa import (
+    SOBEL_X,
+    SOBEL_Y,
+    gradientsmag as _gradient_magnitude,
+    imgrads as _sobel_grads,
+)
 
 
 def gmsd(

@@ -150,11 +150,15 @@ class Trainer:
         )
 
     def _set_lr(self, state: TrainState, lr: float) -> TrainState:
+        """Functionally rebuild the opt state with the new learning rate —
+        no in-place pytree mutation (aliasing across TrainState instances
+        breaks under sharded/donated opt state)."""
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype
+        hyperparams = dict(opt_state.hyperparams)
+        hyperparams["learning_rate"] = jnp.asarray(
+            lr, dtype=jnp.asarray(hyperparams["learning_rate"]).dtype
         )
-        return state.replace(opt_state=opt_state)
+        return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
     def _shard_batch(self, x, y):
         if self.mesh is None:
@@ -181,6 +185,48 @@ class Trainer:
             return
         manager.save(epoch, args=ocp.args.StandardSave(state))
         manager.wait_until_finished()
+
+    def save_best(
+        self, model_dir: str, state: TrainState, epoch: int,
+        eval_metrics: dict[str, float],
+    ) -> str | None:
+        """Write the best-validation checkpoint under a metric-encoding name,
+        replacing the previous best — the reference's
+        ``<name>-ep_N-vloss_X-psnr_Y-mse_Z.jld2`` convention
+        (``src/train.jl:161-165``), as an Orbax directory."""
+        if not _HAS_ORBAX:
+            return None
+        best_root = os.path.abspath(os.path.join(model_dir, "best"))
+        os.makedirs(best_root, exist_ok=True)
+        name = (
+            f"{self.config.model_name}-ep_{epoch}"
+            f"-vloss_{eval_metrics.get('loss', float('nan')):.4f}"
+            f"-psnr_{eval_metrics.get('psnr', float('nan')):.4f}"
+            f"-mse_{eval_metrics.get('mse', float('nan')):.6f}"
+        )
+        path = os.path.join(best_root, name)
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, state)
+        ckpt.wait_until_finished()
+        for prev in os.listdir(best_root):
+            if prev != name:
+                import shutil
+
+                shutil.rmtree(os.path.join(best_root, prev), ignore_errors=True)
+        return path
+
+    def restore_best(self, model_dir: str, template: TrainState) -> TrainState | None:
+        """Load the metric-named best checkpoint (the loading path the
+        reference lacks entirely, SURVEY.md §5.4); None if absent."""
+        best_root = os.path.abspath(os.path.join(model_dir, "best"))
+        if not _HAS_ORBAX or not os.path.isdir(best_root):
+            return None
+        entries = sorted(os.listdir(best_root))
+        if not entries:
+            return None
+        return ocp.StandardCheckpointer().restore(
+            os.path.join(best_root, entries[-1]), template
+        )
 
     def restore_latest(self, model_dir: str, template: TrainState) -> tuple[TrainState, int]:
         """Resume from the newest checkpoint under ``model_dir`` (no-op if
@@ -273,6 +319,7 @@ class Trainer:
             if (epoch + 1) % cfg.checkpoint_every == 0 or val_loss < best_val_loss:
                 self.save_checkpoint(manager, state, epoch)
             if val_loss < best_val_loss:
+                self.save_best(model_dir, state, epoch, eval_metrics)
                 best_val_loss = val_loss
 
             log_fn(

@@ -120,3 +120,33 @@ class TestDatasetBuilder:
         ys = sorted(os.listdir(tmp_path / "out" / "y"))
         assert len(xs) == len(ys) == 3
         assert xs == ys  # paired filenames
+
+
+class TestDualSplitBuilder:
+    def test_generate_awgn_splits(self, tmp_path, rng):
+        """One-command train+test build under awgn_<min>_<max>/{train,test}
+        (reference ``add_gopro``, ``make_dataset.jl:54-96``)."""
+        from admm_deconv_tpu.data import generate_awgn_splits, save_image
+
+        for split, n in (("train", 3), ("test", 2)):
+            d = tmp_path / f"clean_{split}"
+            d.mkdir()
+            for i in range(n):
+                save_image(
+                    str(d / f"im{i}.png"),
+                    rng.random((12, 12, 3)).astype(np.float32),
+                )
+        counts = generate_awgn_splits(
+            str(tmp_path / "clean_train"),
+            str(tmp_path / "clean_test"),
+            str(tmp_path / "out"),
+            min_sigma=10.0,
+            max_sigma=10.0,
+        )
+        assert counts == {"train": 3, "test": 2}
+        root = tmp_path / "out" / "awgn_10_10"
+        for split, n in (("train", 3), ("test", 2)):
+            xs = sorted((root / split / "x").iterdir())
+            ys = sorted((root / split / "y").iterdir())
+            assert len(xs) == n and len(ys) == n
+            assert [p.name for p in xs] == [p.name for p in ys]

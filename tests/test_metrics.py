@@ -131,3 +131,64 @@ class TestGMSD:
         x, y = _imgs(rng, b=1, h=16, w=16, c=1)
         g = jax.grad(lambda a: gmsd_loss(a, y))(x)
         assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_matches_brute_force(self, rng):
+        """Independent pixel-loop re-derivation of GMSD (Sobel/8 correlation
+        with circular indexing, 1e-16-eps magnitude, t=0.0026 similarity map,
+        per-image std, batch mean) — the oracle the reference's training loss
+        (``src/train.jl:191``) is held to, mirroring the SSIM brute-force
+        test above."""
+        b, h, w, c = 2, 12, 14, 3
+        x = rng.random((b, h, w, c)).astype(np.float64)
+        y = np.clip(x + 0.15 * rng.standard_normal((b, h, w, c)), 0, 1)
+        sx = np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], np.float64) / 8.0
+        sy = sx.T
+
+        def mag(img):  # (h, w) single channel
+            out = np.zeros((h, w, 2))
+            for i in range(h):
+                for j in range(w):
+                    gx = gy = 0.0
+                    for di in (-1, 0, 1):
+                        for dj in (-1, 0, 1):
+                            v = img[(i + di) % h, (j + dj) % w]
+                            gx += sx[di + 1, dj + 1] * v
+                            gy += sy[di + 1, dj + 1] * v
+                    out[i, j] = (gx, gy)
+            return np.sqrt(out[..., 0] ** 2 + out[..., 1] ** 2 + 1e-16)
+
+        t = 0.0026
+        scores = []
+        for n in range(b):
+            gms_ch = []
+            for ch in range(c):
+                mx, my = mag(x[n, :, :, ch]), mag(y[n, :, :, ch])
+                gms_ch.append((2 * mx * my + t) / (mx**2 + my**2 + t))
+            gms = np.stack(gms_ch)
+            scores.append(np.sqrt(np.mean((gms - gms.mean()) ** 2)))
+        expected = np.mean(scores)
+
+        got = float(gmsd(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    def test_imgrads_public_surface(self, rng):
+        """imgrads/gradientsmag + Prewitt constants (``iqa_utils.jl:5-17,
+        24-55``) are exposed and consistent."""
+        from admm_deconv_tpu.metrics import (
+            PREWITT_X, PREWITT_Y, SOBEL_X, SOBEL_Y, gradientsmag, imgrads,
+        )
+
+        np.testing.assert_allclose(PREWITT_X.sum(), 0.0, atol=1e-12)
+        np.testing.assert_allclose(PREWITT_X, PREWITT_Y.T)
+        np.testing.assert_allclose(SOBEL_X, SOBEL_Y.T)
+        x, _ = _imgs(rng, b=1, h=16, w=16, c=3)
+        gx, gy = imgrads(x)
+        assert gx.shape == x.shape and gy.shape == x.shape
+        m = gradientsmag(gx, gy)
+        assert np.all(np.asarray(m) >= 0)
+        gxp, _ = imgrads(x, kernel="prewitt")
+        assert not np.allclose(np.asarray(gxp), np.asarray(gx))
+        # A constant image has (numerically) zero gradients.
+        const = jnp.ones((1, 8, 8, 1), jnp.float32)
+        gcx, gcy = imgrads(const)
+        np.testing.assert_allclose(np.asarray(gcx), 0.0, atol=1e-6)

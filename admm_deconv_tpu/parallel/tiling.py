@@ -1,8 +1,10 @@
 """Spatially-tiled ADMM deconvolution across a device mesh (exact).
 
 BASELINE config 5 capability: a single frame too large (or too numerous) for
-one chip is sharded along its H axis over a ``tile`` mesh axis.  The
-per-iteration pipeline runs fully distributed:
+one chip is sharded along its H axis over a ``tile`` mesh axis — and, for
+multi-frame 4K batches, simultaneously along the batch axis over a ``data``
+mesh axis (2-D ``data x tile`` mesh).  The per-iteration pipeline runs fully
+distributed:
 
 * **x-update** — an *exact* distributed rFFT2 by transpose decomposition:
   local rFFT along the (unsharded) W axis, an ``all_to_all`` that re-shards
@@ -14,12 +16,19 @@ per-iteration pipeline runs fully distributed:
 * **D / D^T stencils** — circular 1-pixel halo exchange between neighbor
   tiles via ``ppermute`` (the tile partition is circular, matching the
   operators' circular boundary).
-* **residual norms** — ``psum`` over the tile axis, so adaptive rho and
-  stopping decisions are *shared* across tiles (consensus), identical to the
-  single-chip solve.
+* **residual norms** — per-image, ``psum``'d over the tile axis, so rho
+  adaptation and stopping decisions are *shared* across tiles (consensus),
+  identical to the single-chip solve.
+
+Feature parity with the single-chip solver (``ops/solver.py``, the contract
+``tests/test_parallel.py`` checks against): per-image ``lam``/``rho``,
+Boyd-style early stopping (``lax.while_loop`` on the psum'd residuals),
+warm start via ``init_state`` + ``return_state``, and returned
+:class:`~admm_deconv_tpu.ops.solver.ADMMDiagnostics`.
 
 The result is numerically identical to :func:`admm_deconv_tpu.ops.solver.
-tv_deconvolve` on the gathered image (up to FFT rounding).
+tv_deconvolve` / ``tv_deconvolve_adaptive`` on the gathered image (up to FFT
+rounding).
 """
 
 from __future__ import annotations
@@ -29,7 +38,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf
@@ -40,6 +49,7 @@ from admm_deconv_tpu.ops.fft_mxu import (
     fold_hermitian,
     spectral_scale_folded,
 )
+from admm_deconv_tpu.ops.solver import ADMMDiagnostics, ADMMState
 
 
 def _roll_p1_h(x, axis_name):
@@ -158,7 +168,9 @@ def _col_slice(arr, axis_name, wp):
         "x_bounds",
         "mesh",
         "axis_name",
+        "data_axis_name",
         "adapt_rho",
+        "early_stop",
         "fft_mode",
     ),
 )
@@ -167,17 +179,22 @@ def _tiled_solve(
     psf,
     lam,
     rho,
+    state0,
     iters,
     prox,
     x_bounds,
     mesh,
     axis_name,
+    data_axis_name,
     adapt_rho,
+    early_stop,
+    eps_abs=1e-4,
+    eps_rel=1e-3,
     mu=10.0,
     tau_scale=2.0,
     fft_mode="xla",
 ):
-    n, h, w, = y.shape
+    n, h, w = y.shape
     t = mesh.shape[axis_name]
     wf = w // 2 + 1
     wp = -(-wf // t) * t  # padded frequency-column count, divisible by T
@@ -189,14 +206,19 @@ def _tiled_solve(
     )
 
     prox_fn = prox_lib.resolve(prox)
-    in_spec = P(None, axis_name, None)
+    d_ax = data_axis_name
+    in_spec = P(d_ax, axis_name, None)
+    img_spec = P(d_ax)  # per-image vectors follow the batch sharding
     rep = P()  # replicated
+    # Mesh axes every shard-local value may vary over (for psum'd consensus).
+    all_axes = (axis_name,) if d_ax is None else (axis_name, d_ax)
     folded = fft_mode in ("fold", "fold_precise")
     prec = (
         jax.lax.Precision.HIGH if fft_mode == "fold" else jax.lax.Precision.HIGHEST
     )
+    sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y.dtype))
 
-    def tile_fn(y_tile, lap_full, otf_full, lam, rho):
+    def tile_fn(y_tile, lap_full, otf_full, lam, rho, state0):
         # Per-device cached spectra, column-sharded: (H, Wp/T).
         lap_cols = _col_slice(lap_full, axis_name, wp)
         if not has_psf:
@@ -209,14 +231,15 @@ def _tiled_solve(
         if folded:
             b_fold = fold_hermitian(b_cols)
 
-        ht = y_tile.shape[1]
-        # pcast: the scan carry must be typed as tile-varying from the start.
-        zeros = jax.lax.pcast(jnp.zeros((n, ht, w), y.dtype), axis_name, to="varying")
+        nl = y_tile.shape[0]  # local batch (n / data-axis size)
+        lam_l = lam[:, None, None]
+        rho_l = rho[:, None, None]
 
-        def body(carry, _):
-            x, zx, zy, ux, uy, rho_c = carry
+        def x_update(state, rho_c):
             c_cols = 1.0 / (denom_h + rho_c * lap_cols)
-            q = _grad2d_adjoint_tiled(zx - ux, zy - uy, axis_name)
+            q = _grad2d_adjoint_tiled(
+                state.zx - state.ux, state.zy - state.uy, axis_name
+            )
             if folded:
                 qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(q, axis_name, wp, prec)
                 rhs = (
@@ -235,69 +258,178 @@ def _tiled_solve(
                 x = _dist_irfft2(xhat, axis_name, w, wf)
             if x_bounds is not None:
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
+            return x
+
+        def one_iter(state, rho_c):
+            x = x_update(state, rho_c)
             dxx, dxy = _grad2d_tiled(x, axis_name)
-            tau = lam / rho_c
-            zx_n, zy_n, ux_n, uy_n = prox_lib.prox_dual_step(
-                dxx, dxy, ux, uy, tau, prox_fn
+            tau = lam_l / rho_c
+            zx, zy, ux, uy = prox_lib.prox_dual_step(
+                dxx, dxy, state.ux, state.uy, tau, prox_fn
             )
+            return ADMMState(x, zx, zy, ux, uy), dxx, dxy
+
+        def residuals(state, z_prev_x, z_prev_y, dxx, dxy, rho_c):
+            """Per-image primal/dual residual + feasibility norms, psum'd
+            over the tile axis — one fused collective for all five."""
+            zx, zy, ux, uy = state.zx, state.zy, state.ux, state.uy
+            dz = _grad2d_adjoint_tiled(zx - z_prev_x, zy - z_prev_y, axis_name)
+            dual = _grad2d_adjoint_tiled(ux, uy, axis_name)
+            sums = jnp.stack(
+                [
+                    jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1)),
+                    jnp.sum(dz * dz, axis=(-2, -1)),
+                    jnp.sum(dxx * dxx + dxy * dxy, axis=(-2, -1)),
+                    jnp.sum(zx * zx + zy * zy, axis=(-2, -1)),
+                    jnp.sum(dual * dual, axis=(-2, -1)),
+                ]
+            )  # (5, nl)
+            sums = jax.lax.psum(sums, axis_name)
+            rho_v = rho_c[:, 0, 0]
+            r_norm = jnp.sqrt(sums[0])
+            s_norm = rho_v * jnp.sqrt(sums[1])
+            dx_norm, z_norm = jnp.sqrt(sums[2]), jnp.sqrt(sums[3])
+            dual_norm = rho_v * jnp.sqrt(sums[4])
+            eps_pri = sqrt_dim * eps_abs + eps_rel * jnp.maximum(dx_norm, z_norm)
+            eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
+            done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
+            return r_norm, s_norm, done
+
+        # Varying-type discipline: the state is tile-sharded (varying over
+        # both mesh axes); per-image quantities (rho, residual norms, done)
+        # are tile-REPLICATED consensus values (psum over the tile axis) and
+        # vary only over the data axis.  Fresh initializers get pcast to the
+        # data axis so while-loop carry types line up.
+        def varying_data(v):
+            if d_ax is None or d_ax in jax.typeof(v).vma:
+                return v
+            return jax.lax.pcast(v, (d_ax,), to="varying")
+
+        st0 = state0
+        rho0 = varying_data(jnp.broadcast_to(rho_l, (nl, 1, 1)))
+
+        if not early_stop and not adapt_rho:
+            # Fixed-iteration scan (differentiable), residuals once at the end.
+            def body(carry, _):
+                state, _, _ = one_iter(carry[0], rho0)
+                return (state, carry[0].zx, carry[0].zy), None
+
+            (state, zpx, zpy), _ = jax.lax.scan(
+                body, (st0, st0.zx, st0.zy), None, length=iters
+            )
+            dxx, dxy = _grad2d_tiled(state.x, axis_name)
+            r_norm, s_norm, _ = residuals(state, zpx, zpy, dxx, dxy, rho0)
+            it_img = varying_data(jnp.full((nl,), iters, jnp.int32))
+            return state.x, r_norm, s_norm, it_img, rho0[:, 0, 0], state
+
+        def cond(carry):
+            _state, _rho, it, done, _r, _s = carry
+            unfinished = jnp.sum(jnp.logical_not(done).astype(jnp.int32))
+            if d_ax is not None:
+                # Data shards must agree on the trip count (collectives in
+                # the body would deadlock otherwise).
+                unfinished = jax.lax.psum(unfinished, d_ax)
+            return jnp.logical_and(it < iters, unfinished > 0)
+
+        def body(carry):
+            state, rho_c, it, _done, _r, _s = carry
+            z_prev_x, z_prev_y = state.zx, state.zy
+            state, dxx, dxy = one_iter(state, rho_c)
+            r_norm, s_norm, done = residuals(
+                state, z_prev_x, z_prev_y, dxx, dxy, rho_c
+            )
+            if not early_stop:
+                done = jnp.zeros_like(done)
             if adapt_rho:
-                # Residual norms psum'd over tiles -> every tile sees the
-                # same global norms and takes the same rho decision.
-                r2 = jax.lax.psum(
-                    jnp.sum((dxx - zx_n) ** 2 + (dxy - zy_n) ** 2), axis_name
-                )
-                dz = _grad2d_adjoint_tiled(zx_n - zx, zy_n - zy, axis_name)
-                s2 = rho_c**2 * jax.lax.psum(jnp.sum(dz * dz), axis_name)
-                r_norm, s_norm = jnp.sqrt(r2), jnp.sqrt(s2)
                 grow = r_norm > mu * s_norm
                 shrink = s_norm > mu * r_norm
-                factor = jnp.where(grow, tau_scale, jnp.where(shrink, 1.0 / tau_scale, 1.0))
+                factor = jnp.where(
+                    grow, tau_scale, jnp.where(shrink, 1.0 / tau_scale, 1.0)
+                )
+                factor = jnp.where(done, 1.0, factor)[:, None, None]
                 rho_c = rho_c * factor
-                ux_n = ux_n / factor
-                uy_n = uy_n / factor
-            return (x, zx_n, zy_n, ux_n, uy_n, rho_c), None
+                # Rescaling rho rescales the *scaled* dual u = (1/rho) dual.
+                state = ADMMState(
+                    state.x, state.zx, state.zy, state.ux / factor, state.uy / factor
+                )
+            return (state, rho_c, it + 1, done, r_norm, s_norm)
 
-        rho0 = jax.lax.pcast(jnp.asarray(rho, y.dtype), axis_name, to="varying")
-        init = (zeros, zeros, zeros, zeros, zeros, rho0)
-        (x, *_rest), _ = jax.lax.scan(body, init, None, length=iters)
-        return x
+        norms0 = varying_data(jnp.full((nl,), jnp.inf, dtype=y.dtype))
+        init = (
+            st0,
+            rho0,
+            jnp.asarray(0),
+            varying_data(jnp.zeros((nl,), bool)),
+            norms0,
+            norms0,
+        )
+        state, rho_fin, it, done, r_norm, s_norm = jax.lax.while_loop(
+            cond, body, init
+        )
+        it_img = varying_data(jnp.full((nl,), 1, jnp.int32)) * it
+        return state.x, r_norm, s_norm, it_img, rho_fin[:, 0, 0], state
 
+    state_spec = ADMMState(in_spec, in_spec, in_spec, in_spec, in_spec)
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(in_spec, rep, rep, rep, rep),
-        out_specs=in_spec,
-    )(y, lap_full, otf_full, lam, rho)
+        in_specs=(in_spec, rep, rep, img_spec, img_spec, state_spec),
+        out_specs=(in_spec, img_spec, img_spec, img_spec, img_spec, state_spec),
+    )(y, lap_full, otf_full, lam, rho, state0)
 
 
 def tiled_tv_deconvolve(
     y: jnp.ndarray,
     psf: jnp.ndarray | None = None,
-    lam: float = 0.1,
-    rho: float = 1.0,
+    lam=0.1,
+    rho=1.0,
     iters: int = 100,
     prox: str | Callable = "aniso",
     x_bounds: tuple[float, float] | None = None,
     adapt_rho: bool = False,
+    early_stop: bool = False,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-3,
     mesh: Mesh | None = None,
     axis_name: str = "tile",
+    data_axis_name: str | None = None,
     fft_mode: str = "xla",
-) -> jnp.ndarray:
+    init_state: "ADMMState | None" = None,
+    return_diagnostics: bool = False,
+    return_state: bool = False,
+):
     """ADMM TV deconvolution with the image H axis sharded over ``mesh``.
 
     Args:
       y: NHWC batch ``(B, H, W, C)`` (or ``(H, W)`` / ``(H, W, C)``).
         ``H`` must divide by the tile-axis size; ``W`` must be even.
-      mesh: device mesh containing ``axis_name``; required.
-      adapt_rho: residual-balanced global rho (shared across tiles via psum).
+      lam, rho: TV weight / penalty — scalar or per-image ``(B,)`` /
+        per-channel ``(B, C)``, same broadcast rules as the single-chip
+        solver.
+      mesh: device mesh containing ``axis_name`` (and ``data_axis_name`` if
+        given); required.
+      adapt_rho: per-image residual-balanced rho (consensus via tile-psum).
+      early_stop: Boyd-style stopping on the psum'd per-image residuals
+        (``iters`` becomes the max); implies the ``lax.while_loop`` path.
+      data_axis_name: optional second mesh axis sharding the folded
+        batch*channel axis — BASELINE config 5's multi-frame tiled case
+        (``B*C`` must divide by its size).
       fft_mode: "xla" (native FFTs) or "fold"/"fold_precise" — the MXU
         matmul DFT in the folded half-H representation, the fast path on
         real TPU meshes (same collective bytes, DFT FLOPs on the MXU).
+      init_state: warm-start :class:`ADMMState` from a previous
+        ``return_state=True`` tiled solve (arrays in the folded
+        ``(B*C, H, W)`` layout).
+      return_diagnostics: also return per-image :class:`ADMMDiagnostics`.
+      return_state: also return the final state for warm restarts.
 
-    Returns the restored image(s), same shape as input, H-sharded.
+    Returns ``x`` (same shape as input, H-sharded), optionally followed by
+    diagnostics and/or state.
     """
     if fft_mode not in ("xla", "fold", "fold_precise"):
-        raise ValueError(f"tiled solver fft_mode must be xla/fold/fold_precise, got {fft_mode!r}")
+        raise ValueError(
+            f"tiled solver fft_mode must be xla/fold/fold_precise, got {fft_mode!r}"
+        )
     if mesh is None:
         raise ValueError("tiled_tv_deconvolve requires a mesh")
     y = jnp.asarray(y)
@@ -314,20 +446,63 @@ def tiled_tv_deconvolve(
         raise ValueError(f"H={h} must divide by tile axis size {t}")
     if w % 2 != 0:
         raise ValueError(f"W={w} must be even")
-    y_f = jnp.transpose(y4, (0, 3, 1, 2)).reshape(b * c, h, w)
+    n = b * c
+    if data_axis_name is not None:
+        d = mesh.shape[data_axis_name]
+        if n % d != 0:
+            raise ValueError(
+                f"batch*channels={n} must divide by data axis size {d}"
+            )
+    y_f = jnp.transpose(y4, (0, 3, 1, 2)).reshape(n, h, w)
     psf_arr = None if psf is None else jnp.asarray(psf, y_f.dtype)
-    x = _tiled_solve(
+
+    def fold_param(p):
+        p = jnp.asarray(p, y_f.dtype)
+        if p.ndim == 0 or p.size == 1:
+            return jnp.broadcast_to(p.reshape(()), (n,))
+        if p.shape == (b,):
+            return jnp.repeat(p, c)
+        if p.shape == (b, c):
+            return p.reshape(n)
+        raise ValueError(
+            f"parameter shape {p.shape} not broadcastable over batch={b}, channels={c}"
+        )
+
+    if init_state is None:
+        zeros = jnp.zeros((n, h, w), y_f.dtype)
+        state0 = ADMMState(zeros, zeros, zeros, zeros, zeros)
+    else:
+        state0 = init_state
+
+    x, r_norm, s_norm, it_img, rho_fin, state = _tiled_solve(
         y_f,
         psf_arr,
-        jnp.asarray(lam, y_f.dtype),
-        jnp.asarray(rho, y_f.dtype),
+        fold_param(lam),
+        fold_param(rho),
+        state0,
         iters,
         prox,
         x_bounds,
         mesh,
         axis_name,
+        data_axis_name,
         adapt_rho,
+        early_stop,
+        eps_abs=eps_abs,
+        eps_rel=eps_rel,
         fft_mode=fft_mode,
     )
     x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
-    return x.reshape(orig_shape)
+    out = (x.reshape(orig_shape),)
+    if return_diagnostics:
+        out = out + (
+            ADMMDiagnostics(
+                r_norm=r_norm,
+                s_norm=s_norm,
+                iterations=jnp.max(it_img),
+                rho=rho_fin,
+            ),
+        )
+    if return_state:
+        out = out + (state,)
+    return out if len(out) > 1 else out[0]

@@ -135,3 +135,124 @@ class TestTiledSolver:
             tiled_tv_deconvolve(jnp.zeros((64, 63)), mesh=mesh8)
         with pytest.raises(ValueError, match="mesh"):
             tiled_tv_deconvolve(jnp.zeros((64, 64)))
+
+
+class TestTiledFeatureParity:
+    """Round-2 features (VERDICT missing #3): every single-chip solver
+    capability repeated on the tiled solver, checked against
+    ``ops/solver.py`` as the contract."""
+
+    def test_per_image_lam_rho(self, rng, mesh8):
+        imgs = np.stack([_img(rng), _img(rng)])[..., None]
+        y = jnp.asarray(imgs)
+        lam = np.asarray([0.01, 0.08], np.float32)
+        rho = np.asarray([0.05, 0.4], np.float32)
+        expected = tv_deconvolve(y, None, lam=lam, rho=rho, iters=12)
+        got = tiled_tv_deconvolve(y, None, lam=lam, rho=rho, iters=12, mesh=mesh8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
+        )
+
+    def test_early_stop_matches_adaptive_single_chip(self, rng, mesh8):
+        from admm_deconv_tpu.ops.solver import tv_deconvolve_adaptive
+
+        img = _img(rng)
+        y = jnp.asarray(img)
+        x_ref, d_ref = tv_deconvolve_adaptive(
+            y, None, lam=0.05, rho=0.5, max_iters=100, adapt_rho=True,
+        )
+        x_t, d_t = tiled_tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=100, adapt_rho=True,
+            early_stop=True, mesh=mesh8, return_diagnostics=True,
+        )
+        assert int(d_t.iterations) == int(d_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_t), np.asarray(x_ref), rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_t.r_norm), np.asarray(d_ref.r_norm), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_t.s_norm), np.asarray(d_ref.s_norm), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_t.rho), np.asarray(d_ref.rho), rtol=1e-5
+        )
+
+    def test_warm_start_resumes(self, rng, mesh8):
+        img = _img(rng)
+        y = jnp.asarray(img)
+        x20 = tiled_tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=20, mesh=mesh8)
+        _, state = tiled_tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, mesh=mesh8, return_state=True
+        )
+        resumed = tiled_tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, mesh=mesh8, init_state=state
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed), np.asarray(x20), rtol=1e-4, atol=1e-5
+        )
+
+    def test_diagnostics_match_single_chip(self, rng, mesh8):
+        img = _img(rng)
+        y = jnp.asarray(img)
+        _, d_ref = tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, return_diagnostics=True
+        )
+        _, d_t = tiled_tv_deconvolve(
+            y, None, lam=0.05, rho=0.5, iters=10, mesh=mesh8,
+            return_diagnostics=True,
+        )
+        assert int(d_t.iterations) == 10
+        np.testing.assert_allclose(
+            np.asarray(d_t.r_norm), np.asarray(d_ref.r_norm), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_t.s_norm), np.asarray(d_ref.s_norm), rtol=1e-3
+        )
+
+    def test_data_x_tile_mesh(self, rng):
+        """BASELINE config 5's multi-frame tiled case: batch*channels over a
+        'data' axis AND H over a 'tile' axis simultaneously."""
+        from admm_deconv_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 2, "tile": 4})
+        imgs = np.stack([_img(rng), _img(rng)])[..., None].repeat(3, axis=-1)
+        y = jnp.asarray(imgs)  # (2, 64, 64, 3) -> 6 planes over data=2
+        lam = np.asarray([0.01, 0.05], np.float32)
+        expected = tv_deconvolve(y, None, lam=lam, rho=0.1, iters=12)
+        got = tiled_tv_deconvolve(
+            y, None, lam=lam, rho=0.1, iters=12, mesh=mesh,
+            axis_name="tile", data_axis_name="data",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-5
+        )
+
+    def test_data_x_tile_adaptive_early_stop(self, rng):
+        from admm_deconv_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 2, "tile": 4})
+        imgs = np.stack([_img(rng), _img(rng)])[..., None]
+        y = jnp.asarray(imgs)
+        x, d = tiled_tv_deconvolve(
+            y, None, lam=0.05, rho=5.0, iters=60, adapt_rho=True,
+            early_stop=True, mesh=mesh, axis_name="tile",
+            data_axis_name="data", return_diagnostics=True,
+        )
+        assert np.all(np.isfinite(np.asarray(x)))
+        assert d.r_norm.shape == (2,)
+        assert not np.allclose(np.asarray(d.rho), 5.0)  # rebalanced
+
+    def test_fold_mode_per_image_rho(self, rng, mesh8):
+        imgs = np.stack([_img(rng), _img(rng)])[..., None]
+        y = jnp.asarray(imgs)
+        rho = np.asarray([0.05, 0.3], np.float32)
+        expected = tv_deconvolve(y, None, lam=0.02, rho=rho, iters=12)
+        got = tiled_tv_deconvolve(
+            y, None, lam=0.02, rho=rho, iters=12, mesh=mesh8,
+            fft_mode="fold_precise",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )

@@ -130,7 +130,16 @@ class ImageDataFeeder:
 
 
 class DataLoader:
-    """Minimal epoch iterator over an :class:`ImageDataFeeder`."""
+    """Minimal epoch iterator over an :class:`ImageDataFeeder`.
+
+    Multi-host data parallelism (no reference counterpart, SURVEY.md §5.8):
+    with ``process_count > 1``, ``batch_size`` is the GLOBAL batch size and
+    each process yields only its contiguous ``batch_size/process_count``
+    shard of every batch, ready for
+    ``parallel.distributed.assemble_global_batch``.  All processes must
+    construct the loader with identically-seeded ``rng`` so the shuffled
+    epoch order agrees.
+    """
 
     def __init__(
         self,
@@ -139,12 +148,25 @@ class DataLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         rng: np.random.Generator | None = None,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide process_count "
+                f"{process_count}"
+            )
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
+        # A ragged final batch would give processes unequal shard sizes, so
+        # multi-process always drops it.
+        self.drop_last = drop_last or process_count > 1
         self.rng = rng if rng is not None else np.random.default_rng()
+        self.process_count = process_count
+        self.process_index = process_index
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -161,5 +183,10 @@ class DataLoader:
             if self.drop_last
             else len(order)
         )
+        local = self.batch_size // self.process_count
+        lo = self.process_index * local
         for start in range(0, stop, self.batch_size):
-            yield self.dataset[order[start : start + self.batch_size]]
+            batch_idx = order[start : start + self.batch_size]
+            if self.process_count > 1:
+                batch_idx = batch_idx[lo : lo + local]
+            yield self.dataset[batch_idx]

@@ -39,9 +39,12 @@ class TrainConfig:
     plateau_factor: float = 0.01
     seed: int = 42
     # TPU-specific (no reference counterpart):
-    mesh_batch: int = 1  # data-parallel mesh axis size (1 = single chip)
+    # Data-parallel mesh axis size: 1 = single chip, N = N devices,
+    # 0 / -1 = all devices across all processes (multi-host).
+    mesh_batch: int = 1
     checkpoint_every: int = 1
     keep_checkpoints: int = 3
+    checkpointing: bool = True  # False: skip Orbax writes (dry runs/tests)
     fft_mode: str = "xla"  # solver x-update backend; "fold" = fastest on TPU
     prox_impl: str = "xla"  # "pallas" = fused stencil kernel (fast TPU path)
 
@@ -97,4 +100,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--model_name", "-n", default="admm-tv_restorer",
         help="Name of the model to be saved",
     )
+    # Multi-host launch flags (no reference counterpart, SURVEY.md §5.8).
+    # On TPU pods all three are auto-detected; pass explicitly for
+    # multi-process CPU/GPU runs.
+    p.add_argument(
+        "--coordinator", default=None,
+        help="jax.distributed coordinator address (host:port); presence "
+        "triggers multi-process initialization",
+    )
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)

@@ -15,8 +15,13 @@ TPU-native deltas:
   * Orbax checkpoints persist the FULL train state (params, optimizer state,
     step, epoch, RNG) with resume-from-latest — the reference saves
     weights-only and has no loading path (SURVEY.md §5.4).
-  * Optional data-parallel sharding of the batch axis over a device mesh
-    via ``NamedSharding`` (no reference counterpart).
+  * Data-parallel sharding of the batch axis over a device mesh via
+    ``NamedSharding`` (no reference counterpart), including multi-host:
+    with ``mesh_batch <= 0`` the mesh spans every device of every process,
+    each process feeds its local shard of the global batch
+    (``parallel.distributed.assemble_global_batch``), GSPMD inserts the
+    gradient psums, and only process 0 writes CSV/TensorBoard while Orbax
+    checkpointing coordinates across all processes.
 """
 
 from __future__ import annotations
@@ -100,12 +105,25 @@ class Trainer:
             config.lr_rate, config.plateau_patience, config.plateau_factor
         )
         self.mesh = None
-        if config.mesh_batch > 1:
-            devices = np.array(jax.devices()[: config.mesh_batch])
+        n_data = config.mesh_batch
+        if n_data <= 0 or jax.process_count() > 1:
+            n_data = jax.device_count()  # all devices, all processes
+        if jax.process_count() > 1 and n_data != jax.device_count():
+            raise ValueError(
+                "multi-process training requires the data mesh to span all "
+                f"devices: mesh_batch={config.mesh_batch} but "
+                f"device_count={jax.device_count()}"
+            )
+        if n_data > 1:
+            devices = np.array(jax.devices()[:n_data])
             self.mesh = jax.sharding.Mesh(devices, ("data",))
             self.batch_sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec("data")
             )
+            self.replicated = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+        self.is_lead = jax.process_index() == 0
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -140,6 +158,24 @@ class Trainer:
     # ---- state ------------------------------------------------------------
 
     def init_state(self, rng_key, sample_x) -> TrainState:
+        if self.mesh is not None:
+            # Params/opt state replicated over the mesh as global arrays —
+            # required for multi-process jit inputs, free on one process.
+            # Inputs go in as numpy (assumed identical on every process) so
+            # the jit sees host values rather than process-local arrays.
+            params = jax.jit(self.model.init, out_shardings=self.replicated)(
+                np.asarray(rng_key), np.asarray(sample_x)
+            )
+            opt_state = jax.jit(
+                self.optimizer.init, out_shardings=self.replicated
+            )(params)
+            counters = jax.device_put(
+                (np.asarray(0), np.asarray(0)), self.replicated
+            )
+            return TrainState(
+                params=params, opt_state=opt_state,
+                step=counters[0], epoch=counters[1],
+            )
         params = jax.jit(self.model.init)(rng_key, sample_x)
         opt_state = self.optimizer.init(params)
         return TrainState(
@@ -149,20 +185,37 @@ class Trainer:
             epoch=jnp.asarray(0),
         )
 
+    def _rep(self, x):
+        """Replicate a host scalar/array over the mesh (multi-process jit
+        inputs must be global arrays; a plain ``jnp.asarray`` is local)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self.replicated)
+
     def _set_lr(self, state: TrainState, lr: float) -> TrainState:
         """Functionally rebuild the opt state with the new learning rate —
         no in-place pytree mutation (aliasing across TrainState instances
         breaks under sharded/donated opt state)."""
         opt_state = state.opt_state
         hyperparams = dict(opt_state.hyperparams)
-        hyperparams["learning_rate"] = jnp.asarray(
-            lr, dtype=jnp.asarray(hyperparams["learning_rate"]).dtype
+        hyperparams["learning_rate"] = self._rep(
+            np.asarray(lr, dtype=np.asarray(hyperparams["learning_rate"]).dtype)
         )
         return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
     def _shard_batch(self, x, y):
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(y)
+        if jax.process_count() > 1:
+            # x/y are this process's local shard of the global batch; stitch
+            # them into one global array sharded over the data axis.
+            from admm_deconv_tpu.parallel.distributed import assemble_global_batch
+
+            spec = jax.sharding.PartitionSpec("data")
+            return (
+                assemble_global_batch(np.asarray(x), self.mesh, spec),
+                assemble_global_batch(np.asarray(y), self.mesh, spec),
+            )
         return (
             jax.device_put(x, self.batch_sharding),
             jax.device_put(y, self.batch_sharding),
@@ -171,7 +224,7 @@ class Trainer:
     # ---- checkpointing ----------------------------------------------------
 
     def _ckpt_manager(self, model_dir: str):
-        if not _HAS_ORBAX:
+        if not _HAS_ORBAX or not self.config.checkpointing:
             return None
         return ocp.CheckpointManager(
             os.path.abspath(os.path.join(model_dir, "checkpoints")),
@@ -194,7 +247,7 @@ class Trainer:
         replacing the previous best — the reference's
         ``<name>-ep_N-vloss_X-psnr_Y-mse_Z.jld2`` convention
         (``src/train.jl:161-165``), as an Orbax directory."""
-        if not _HAS_ORBAX:
+        if not _HAS_ORBAX or not self.config.checkpointing:
             return None
         best_root = os.path.abspath(os.path.join(model_dir, "best"))
         os.makedirs(best_root, exist_ok=True)
@@ -208,11 +261,12 @@ class Trainer:
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(path, state)
         ckpt.wait_until_finished()
-        for prev in os.listdir(best_root):
-            if prev != name:
-                import shutil
+        if self.is_lead:  # filesystem cleanup belongs to one process
+            for prev in os.listdir(best_root):
+                if prev != name:
+                    import shutil
 
-                shutil.rmtree(os.path.join(best_root, prev), ignore_errors=True)
+                    shutil.rmtree(os.path.join(best_root, prev), ignore_errors=True)
         return path
 
     def restore_best(self, model_dir: str, template: TrainState) -> TrainState | None:
@@ -258,7 +312,11 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
         history_path = os.path.join(model_dir, "train_eval_metrics_history.csv")
         manager = self._ckpt_manager(model_dir)
-        tb = TensorBoardLogger(os.path.join(model_dir, "logging")) if tensorboard else None
+        tb = (
+            TensorBoardLogger(os.path.join(model_dir, "logging"))
+            if tensorboard and self.is_lead
+            else None
+        )
 
         start_epoch = 0
         if resume:
@@ -292,9 +350,12 @@ class Trainer:
             eval_metrics = {k: v / max(n_eval, 1) for k, v in eval_metrics.items()}
 
             val_loss = eval_metrics.get("loss", float("inf"))
+            # Metrics are replicated jit outputs, so every process computes
+            # the same val_loss and takes the same plateau/best decisions —
+            # no broadcast needed.
             new_lr = self.plateau.step(val_loss)
             state = self._set_lr(state, new_lr)
-            state = state.replace(epoch=jnp.asarray(epoch + 1))
+            state = state.replace(epoch=self._rep(epoch + 1))
 
             row = {
                 "epoch": epoch,
@@ -304,10 +365,11 @@ class Trainer:
                 "seconds": time.time() - t0,
             }
             history.append(row)
-            with open(history_path, "w", newline="") as f:
-                writer = csv.DictWriter(f, fieldnames=list(history[0].keys()))
-                writer.writeheader()
-                writer.writerows(history)
+            if self.is_lead:
+                with open(history_path, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=list(history[0].keys()))
+                    writer.writeheader()
+                    writer.writerows(history)
 
             if tb is not None:
                 tb.log_scalars(train_metrics, epoch, prefix="train/")
@@ -322,13 +384,14 @@ class Trainer:
                 self.save_best(model_dir, state, epoch, eval_metrics)
                 best_val_loss = val_loss
 
-            log_fn(
-                f"[epoch {epoch}] "
-                + " ".join(f"train_{k}={v:.5f}" for k, v in train_metrics.items())
-                + " | "
-                + " ".join(f"eval_{k}={v:.5f}" for k, v in eval_metrics.items())
-                + f" | lr={new_lr:.2e} ({row['seconds']:.1f}s)"
-            )
+            if self.is_lead:
+                log_fn(
+                    f"[epoch {epoch}] "
+                    + " ".join(f"train_{k}={v:.5f}" for k, v in train_metrics.items())
+                    + " | "
+                    + " ".join(f"eval_{k}={v:.5f}" for k, v in eval_metrics.items())
+                    + f" | lr={new_lr:.2e} ({row['seconds']:.1f}s)"
+                )
 
         if tb is not None:
             tb.close()

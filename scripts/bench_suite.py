@@ -87,9 +87,16 @@ def main():
         emit(results, {"bench": "4k_frame", "path": f"{fast_fft}+{fast_prox}",
                        **time_solve(shape4k, fast_fft, fast_prox)})
 
-    # Quality parity: reference scenario on a synthetic blocks image.
+    # Quality parity: reference scenario on a synthetic blocks image —
+    # 16x16 piecewise-constant tiles, the regime TV regularization is FOR.
+    # (An iid-per-pixel binary image is wrong here: tau = lam/rho ~ 0.195
+    # soft-thresholds away single-pixel gradients and the converged ADMM
+    # solution sits at ~15.7 dB however many iterations run.)
     rng = np.random.default_rng(1)
-    clean = np.clip(0.2 + (rng.random((3, 256, 256, 3)) > 0.5) * 0.4, 0, 1).astype(np.float32)
+    tiles = rng.random((3, 16, 16, 3)) > 0.5
+    clean = np.clip(
+        0.2 + np.kron(tiles, np.ones((1, 16, 16, 1))) * 0.4, 0, 1
+    ).astype(np.float32)
     psf_np = np.asarray(motion_psf())
     blurred = sum(
         psf_np[a, c] * np.roll(clean, (a - 3, c - 3), (1, 2))
@@ -102,6 +109,7 @@ def main():
     ref = jnp.asarray(clean)
     emit(results, {
         "bench": "parity_256",
+        "psnr_blurred_db": round(float(peak_snr(y, ref)), 3),
         "psnr_exact_db": round(float(peak_snr(x_exact, ref)), 3),
         "psnr_fast_db": round(float(peak_snr(x_fast, ref)), 3),
         "max_abs_path_diff": float(jnp.max(jnp.abs(x_exact - x_fast))),

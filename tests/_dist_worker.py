@@ -1,0 +1,123 @@
+"""Worker for the 2-process ``jax.distributed`` CPU test.
+
+Spawned by ``tests/test_distributed.py`` (one subprocess per process id) to
+exercise the real multi-host path on one machine: Gloo collectives between
+two CPU processes, each exposing 2 virtual devices (4-device global mesh).
+Covers ``parallel.distributed.initialize`` / ``local_batch_slice`` /
+``assemble_global_batch``, the per-process ``DataLoader`` sharding, and an
+end-to-end 2-epoch ``Trainer.fit`` whose final params must agree bit-for-bit
+across processes (GSPMD gradient psums keep replicas in lockstep).
+
+Usage: python tests/_dist_worker.py <process_id> <num_processes> <port> <tmpdir>
+"""
+
+import os
+import sys
+
+proc_id = int(sys.argv[1])
+nprocs = int(sys.argv[2])
+port = sys.argv[3]
+tmpdir = sys.argv[4]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from admm_deconv_tpu.parallel import distributed
+
+distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs,
+    process_id=proc_id,
+)
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from admm_deconv_tpu.data.feeder import DataLoader
+from admm_deconv_tpu.parallel.mesh import make_mesh
+from admm_deconv_tpu.train import Trainer, TrainConfig
+
+assert distributed.is_multi_host()
+assert jax.process_count() == nprocs
+assert jax.device_count() == 2 * nprocs
+
+# ---- helpers: local_batch_slice + assemble_global_batch --------------------
+GLOBAL_BATCH = 8
+sl = distributed.local_batch_slice(GLOBAL_BATCH)
+assert sl == slice(proc_id * 4, proc_id * 4 + 4), sl
+
+full = np.arange(GLOBAL_BATCH, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32)
+mesh = make_mesh({"data": jax.device_count()})
+garr = distributed.assemble_global_batch(full[sl], mesh, P("data"))
+assert garr.shape == (GLOBAL_BATCH, 3)
+total = float(jax.jit(jnp.sum)(garr))
+assert total == float(full.sum()), (total, full.sum())
+
+# ---- per-process DataLoader sharding ---------------------------------------
+
+
+class _ArrayPairs:
+    """Index-addressable dataset of deterministic (x, y) arrays."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idxs):
+        idxs = np.asarray(idxs)
+        x = np.stack([np.full((8, 8, 3), i, np.float32) / self.n for i in idxs])
+        return x, np.clip(x + 0.1, 0, 1)
+
+
+loader = DataLoader(
+    _ArrayPairs(8), batch_size=4, shuffle=True,
+    rng=np.random.default_rng(0),  # same seed on every process
+    process_count=nprocs, process_index=proc_id,
+)
+batches = list(loader)
+assert all(b[0].shape[0] == 4 // nprocs for b in batches)
+
+# ---- end-to-end multi-process Trainer.fit -----------------------------------
+
+
+class TinyModel(nn.Module):
+    @nn.compact
+    def __call__(self, v):
+        return nn.Conv(3, (3, 3))(v)
+
+
+cfg = TrainConfig(
+    batch_size=4, epochs=2, lr_rate=1e-2, loss="mse", optimizer="adam",
+    mesh_batch=0, checkpointing=False, im_shape=(8, 8),
+)
+trainer = Trainer(TinyModel(), cfg)
+assert trainer.mesh is not None and trainer.mesh.size == jax.device_count()
+assert trainer.is_lead == (proc_id == 0)
+
+sample_x, _ = next(iter(loader))
+state = trainer.init_state(jax.random.PRNGKey(0), sample_x)
+model_dir = os.path.join(tmpdir, "run")
+state = trainer.fit(
+    state, loader, loader, model_dir=model_dir, log_fn=lambda *_: None
+)
+
+csv_path = os.path.join(model_dir, "train_eval_metrics_history.csv")
+if proc_id == 0:
+    assert os.path.exists(csv_path), "lead process must write the CSV history"
+
+# Replicated params: every process must hold identical final weights.
+checksum = float(
+    sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(state.params))
+)
+with open(os.path.join(tmpdir, f"checksum_{proc_id}.txt"), "w") as f:
+    f.write(repr(checksum))
+
+print(f"[{proc_id}] OK checksum={checksum!r}", flush=True)

@@ -97,6 +97,31 @@ class TestConvergence:
         psnr_restored = float(peak_snr(x[None], ref[None]))
         assert psnr_restored > psnr_blurred + 1.0
 
+    def test_blocks_restoration_is_strong(self, rng):
+        """On truly piecewise-constant content (TV's regime) the reference
+        scenario must recover tens of dB, not marginal gains — this pins the
+        bench_suite/verify parity fixture so it can't drift back to an
+        iid-per-pixel image (where ADMM correctly converges to ~15.7 dB and
+        the parity number means nothing)."""
+        tiles = rng.random((1, 8, 8, 1)) > 0.5
+        clean = np.clip(
+            0.2 + np.kron(tiles, np.ones((1, 16, 16, 1))) * 0.4, 0, 1
+        ).astype(np.float32)[0, :, :, 0]
+        psf = _motion_psf(7).astype(np.float64)
+        blurred = circ_conv_centered(clean, psf)
+        x = jnp.clip(
+            tv_deconvolve(
+                jnp.asarray(blurred, jnp.float32),
+                psf=jnp.asarray(psf, jnp.float32),
+                lam=0.0041, rho=0.021, iters=100,
+            ),
+            0, 1,
+        )
+        ref = jnp.asarray(clean)[None]
+        psnr_blurred = float(peak_snr(jnp.asarray(blurred, jnp.float32)[None], ref))
+        psnr_restored = float(peak_snr(x[None], ref))
+        assert psnr_restored > psnr_blurred + 20.0, (psnr_blurred, psnr_restored)
+
     def test_objective_decreases(self, rng):
         img = _test_image(rng)
         psf = _motion_psf(5).astype(np.float64)

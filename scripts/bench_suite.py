@@ -67,6 +67,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="include the 4K workload")
     ap.add_argument("--train", action="store_true", help="include the flagship train step (slow compile)")
+    ap.add_argument("--pallas-parity", dest="pallas_parity", action="store_true",
+                    help="compiled Pallas kernels vs jnp composition on this backend")
+    ap.add_argument("--skip-solves", dest="skip_solves", action="store_true",
+                    help="skip the 1080p/parity/adaptive solve benches")
     ap.add_argument("--out", default=None, help="also write a JSON array here")
     args = ap.parse_args()
 
@@ -75,12 +79,13 @@ def main():
     fast_prox = "pallas" if on_tpu else "xla"
     results = []
 
-    # 1080p batch-4, both paths.
-    shape = (4, 1080, 1920, 3)
-    emit(results, {"bench": "1080p_batch4", "path": "xla",
-                   **time_solve(shape, "xla", "xla")})
-    emit(results, {"bench": "1080p_batch4", "path": f"{fast_fft}+{fast_prox}",
-                   **time_solve(shape, fast_fft, fast_prox)})
+    if not args.skip_solves:
+        # 1080p batch-4, both paths.
+        shape = (4, 1080, 1920, 3)
+        emit(results, {"bench": "1080p_batch4", "path": "xla",
+                       **time_solve(shape, "xla", "xla")})
+        emit(results, {"bench": "1080p_batch4", "path": f"{fast_fft}+{fast_prox}",
+                       **time_solve(shape, fast_fft, fast_prox)})
 
     if args.full:
         shape4k = (1, 2160, 3840, 3)
@@ -92,37 +97,121 @@ def main():
     # (An iid-per-pixel binary image is wrong here: tau = lam/rho ~ 0.195
     # soft-thresholds away single-pixel gradients and the converged ADMM
     # solution sits at ~15.7 dB however many iterations run.)
-    rng = np.random.default_rng(1)
-    tiles = rng.random((3, 16, 16, 3)) > 0.5
-    clean = np.clip(
-        0.2 + np.kron(tiles, np.ones((1, 16, 16, 1))) * 0.4, 0, 1
-    ).astype(np.float32)
-    psf_np = np.asarray(motion_psf())
-    blurred = sum(
-        psf_np[a, c] * np.roll(clean, (a - 3, c - 3), (1, 2))
-        for a in range(7) for c in range(7)
-    )
-    y = jnp.asarray(blurred)
-    kw = dict(psf=motion_psf(), lam=LAM, rho=RHO, iters=100)
-    x_exact = jnp.clip(tv_deconvolve(y, fft_mode="xla", **kw), 0, 1)
-    x_fast = jnp.clip(tv_deconvolve(y, fft_mode=fast_fft, prox_impl=fast_prox, **kw), 0, 1)
-    ref = jnp.asarray(clean)
-    emit(results, {
-        "bench": "parity_256",
-        "psnr_blurred_db": round(float(peak_snr(y, ref)), 3),
-        "psnr_exact_db": round(float(peak_snr(x_exact, ref)), 3),
-        "psnr_fast_db": round(float(peak_snr(x_fast, ref)), 3),
-        "max_abs_path_diff": float(jnp.max(jnp.abs(x_exact - x_fast))),
-    })
+    if not args.skip_solves:
+        rng = np.random.default_rng(1)
+        tiles = rng.random((3, 16, 16, 3)) > 0.5
+        clean = np.clip(
+            0.2 + np.kron(tiles, np.ones((1, 16, 16, 1))) * 0.4, 0, 1
+        ).astype(np.float32)
+        psf_np = np.asarray(motion_psf())
+        blurred = sum(
+            psf_np[a, c] * np.roll(clean, (a - 3, c - 3), (1, 2))
+            for a in range(7) for c in range(7)
+        )
+        y = jnp.asarray(blurred)
+        kw = dict(psf=motion_psf(), lam=LAM, rho=RHO, iters=100)
+        x_exact = jnp.clip(tv_deconvolve(y, fft_mode="xla", **kw), 0, 1)
+        x_fast = jnp.clip(tv_deconvolve(y, fft_mode=fast_fft, prox_impl=fast_prox, **kw), 0, 1)
+        ref = jnp.asarray(clean)
+        emit(results, {
+            "bench": "parity_256",
+            "psnr_blurred_db": round(float(peak_snr(y, ref)), 3),
+            "psnr_exact_db": round(float(peak_snr(x_exact, ref)), 3),
+            "psnr_fast_db": round(float(peak_snr(x_fast, ref)), 3),
+            "max_abs_path_diff": float(jnp.max(jnp.abs(x_exact - x_fast))),
+        })
 
-    # Adaptive solver: early stop + residual-balanced rho.
-    xa, diag = tv_deconvolve_adaptive(y, psf=motion_psf(), lam=LAM, max_iters=200)
-    emit(results, {
-        "bench": "adaptive_256",
-        "iterations": int(diag.iterations),
-        "rho_final_range": [round(float(jnp.min(diag.rho)), 4),
-                            round(float(jnp.max(diag.rho)), 4)],
-    })
+        # Adaptive solver: early stop + residual-balanced rho.
+        xa, diag = tv_deconvolve_adaptive(y, psf=motion_psf(), lam=LAM, max_iters=200)
+        emit(results, {
+            "bench": "adaptive_256",
+            "iterations": int(diag.iterations),
+            "rho_final_range": [round(float(jnp.min(diag.rho)), 4),
+                                round(float(jnp.max(diag.rho)), 4)],
+        })
+
+    if args.pallas_parity:
+        # Kernel-vs-jnp numeric agreement ON THIS BACKEND (the CI suite only
+        # ever runs the kernels in interpreter mode on CPU; this is the check
+        # that a Mosaic lowering regression can't silently ship).
+        from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
+        from admm_deconv_tpu.ops.pallas import fused_admm_stencil, fused_prox_dual
+        from admm_deconv_tpu.ops.prox import prox_dual_step, resolve
+
+        rng = np.random.default_rng(3)
+        n, h, w = 6, 256, 512
+        x, ux, uy = (jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+                     for _ in range(3))
+        taus = {
+            "scalar": jnp.float32(0.13),
+            "vector": jnp.asarray(rng.random(n) * 0.3 + 0.01, jnp.float32),
+        }
+
+        def _btau(tau):
+            return tau if jnp.ndim(tau) == 0 else tau.reshape(-1, 1, 1)
+
+        def jnp_stencil(x, ux, uy, tau, mode):
+            dxx, dxy = grad2d(x)
+            zx, zy, ux2, uy2 = prox_dual_step(
+                dxx, dxy, ux, uy, _btau(tau), resolve(mode)
+            )
+            return grad2d_adjoint(zx - ux2, zy - uy2), ux2, uy2
+
+        for mode in ("aniso", "iso", "hard", "gauss"):
+            for tname, tau in taus.items():
+                fast = jax.jit(
+                    lambda x, ux, uy, tau, m=mode: fused_admm_stencil(
+                        x, ux, uy, tau, mode=m, interpret=False
+                    )
+                )(x, ux, uy, tau)
+                ref_out = jax.jit(
+                    lambda x, ux, uy, tau, m=mode: jnp_stencil(x, ux, uy, tau, m)
+                )(x, ux, uy, tau)
+                fwd_diff = max(
+                    float(jnp.max(jnp.abs(a - b))) for a, b in zip(fast, ref_out)
+                )
+
+                def loss(f):
+                    def inner(x, ux, uy, tau):
+                        q, a, b = f(x, ux, uy, tau)
+                        return jnp.sum(q * q) + jnp.sum(a * b)
+                    return inner
+
+                g_fast = jax.jit(jax.grad(
+                    loss(lambda *a: fused_admm_stencil(*a, mode=mode, interpret=False)),
+                    argnums=(0, 1, 2, 3),
+                ))(x, ux, uy, tau)
+                g_ref = jax.jit(jax.grad(
+                    loss(lambda *a: jnp_stencil(*a, mode)), argnums=(0, 1, 2, 3)
+                ))(x, ux, uy, tau)
+                # Relative per-argument: the tau cotangent is a sum over all
+                # N*H*W elements (magnitude ~3e7 here), so its absolute diff
+                # is dominated by fp32 accumulation order — relative error is
+                # the meaningful number.
+                grad_diff = max(
+                    float(jnp.max(jnp.abs(a - b)))
+                    / max(float(jnp.max(jnp.abs(b))), 1e-30)
+                    for a, b in zip(g_fast, g_ref)
+                )
+
+                pfast = jax.jit(
+                    lambda *a, m=mode: fused_prox_dual(*a, mode=m, interpret=False)
+                )(x, ux, ux, uy, tau)
+                pref = jax.jit(
+                    lambda a, b, c, d, t, m=mode: prox_dual_step(
+                        a, b, c, d, _btau(t), resolve(m)
+                    )
+                )(x, ux, ux, uy, tau)
+                prox_diff = max(
+                    float(jnp.max(jnp.abs(a - b))) for a, b in zip(pfast, pref)
+                )
+                emit(results, {
+                    "bench": "pallas_parity", "backend": jax.default_backend(),
+                    "mode": mode, "tau": tname,
+                    "stencil_fwd_max_diff": fwd_diff,
+                    "stencil_grad_max_rel_diff": grad_diff,
+                    "prox_dual_max_diff": prox_diff,
+                })
 
     if args.train:
         import optax

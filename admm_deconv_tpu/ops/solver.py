@@ -76,15 +76,31 @@ from admm_deconv_tpu.ops.fft_mxu import (
 #   "fold"         — DFT-by-matmul in the folded half-H Hermitian
 #                    representation (`ops/fft_mxu.py`): ~26% fewer MXU FLOPs
 #                    than "mxu" at the same op count, HIGH precision.
-#                    Fastest measured mode on TPU.
+#   "fold1"        — the folded DFT at DEFAULT precision (bf16x1, 3x fewer
+#                    MXU passes than HIGH) made accuracy-viable by a
+#                    *delta-form* x-update: x = x_B + irfft2(rho*C . rfft2(q))
+#                    with x_B = irfft2(C . B) hoisted out of the loop and
+#                    computed once exactly (XLA fp32 FFT).  The per-iteration
+#                    matmuls then only touch the small zero-mean divergence
+#                    field q, so bf16 relative error lands on residual-scale
+#                    signal instead of image-scale B (measured: 1.4e-3 max
+#                    image deviation / <0.1 dB PSNR on the reference blocks
+#                    scenario vs -1.5 dB for non-delta bf16x1; the final
+#                    post-loop solve runs at HIGH).  Fastest mode on TPU
+#                    (~1.7x "fold"); fixed-iteration solver only.
 #   "fold_precise" — the same at HIGHEST precision.
 #   "pack"         — four-step factored C2C with complex plane packing
 #                    (requires scalar rho), HIGH precision.
 #   "pack_precise" — the same at HIGHEST precision.
-_FFT_MODES = ("xla", "mxu", "mxu_precise", "fold", "fold_precise", "pack", "pack_precise")
+_FFT_MODES = (
+    "xla", "mxu", "mxu_precise", "fold", "fold1", "fold_precise", "pack",
+    "pack_precise",
+)
 
 
 def _fft_precision(fft_mode: str):
+    if fft_mode == "fold1":
+        return jax.lax.Precision.DEFAULT
     return (
         jax.lax.Precision.HIGH
         if fft_mode in ("mxu", "pack", "fold")
@@ -260,7 +276,9 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
         otf = psf_to_otf(psf, (h, w))
         denom_h = jnp.abs(otf) ** 2
         b_c = jnp.conj(otf) * y_hat
-    if fft_mode == "xla":
+    if fft_mode in ("xla", "fold1"):
+        # "fold1" keeps the complex spectrum: its delta-form precompute
+        # (x_B, rho*C) is derived downstream once rho is final.
         b_f = b_c
     elif fft_mode in ("fold", "fold_precise"):
         # Cache the rhs spectrum already folded into the half-H Hermitian
@@ -281,11 +299,34 @@ def _form_cspec(denom_h, lap, rho, fft_mode):
     return c_spec
 
 
-def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla"):
+def _prepare_delta(b_c, denom_h, lap, rho, h, w):
+    """Delta-form precompute for ``fft_mode='fold1'`` (done ONCE per solve,
+    in exact fp32 via the XLA FFT): the constant image-scale part of the
+    x-update ``x_B = irfft2(C . B)`` and the folded loop multiplier
+    ``rho * C`` (rho folded in so the loop skips the per-iteration scale)."""
+    c_spec = 1.0 / (denom_h + rho * lap)
+    x_b = jnp.fft.irfft2(c_spec * b_c, s=(h, w))
+    return x_b, fold_even_odd(rho * c_spec)
+
+
+def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla", precision=None):
     """Closed-form normal-equation solve given the spatial rhs term ``q``:
-    ``irfft2(c_spec * (B + rho * rfft2(q)))`` under the selected FFT mode."""
+    ``irfft2(c_spec * (B + rho * rfft2(q)))`` under the selected FFT mode.
+
+    For ``fft_mode='fold1'`` the arguments are the delta-form precompute:
+    ``b_f`` is the spatial ``x_B`` and ``c_spec`` the folded ``rho * C``
+    (see :func:`_prepare_delta`); ``precision`` optionally overrides the
+    mode's matmul precision (the fold1 post-loop solve runs at HIGH).
+    """
     if fft_mode == "xla":
         return jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
+    if fft_mode == "fold1":
+        prec = precision if precision is not None else _fft_precision(fft_mode)
+        ce, co = c_spec
+        f = rfft2_mxu_folded(q, precision=prec)
+        return b_f + irfft2_mxu_folded(
+            *spectral_scale_folded(f, ce, co), (h, w), precision=prec
+        )
     if fft_mode in ("pack", "pack_precise"):
         # b_f is the spatial H^T y cache; c_spec is in the four-step layout.
         return real_filter2d_packed(
@@ -395,7 +436,10 @@ def tv_deconvolve(
     )
     tau = lam_f / rho_f
     prox_step = _make_prox_step(prox, prox_impl)
-    c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
+    if fft_mode == "fold1":
+        b_f, c_spec = _prepare_delta(b_f, denom_h, lap, rho_f, h, w)
+    else:
+        c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
 
     n = b * c
 
@@ -469,7 +513,13 @@ def tv_deconvolve(
 
         carry, _ = jax.lax.scan(fast_body, carry0, None, length=iters - 1)
         q_fin = carry[0]
-        x = _solve_spectral(b_f, c_spec, rho_f, q_fin, h, w, fft_mode)
+        # fold1: the one post-loop solve producing the output runs at HIGH —
+        # near-free, and it removes the last transform's bf16x1 error from
+        # the returned image (loop error lives only in the converged q/u).
+        final_prec = jax.lax.Precision.HIGH if fft_mode == "fold1" else None
+        x = _solve_spectral(
+            b_f, c_spec, rho_f, q_fin, h, w, fft_mode, precision=final_prec
+        )
         if x_bounds is not None:
             x = jnp.clip(x, x_bounds[0], x_bounds[1])
         return _unfold(x, b, c).reshape(orig_shape)
@@ -591,6 +641,12 @@ def tv_deconvolve_adaptive(
     """
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
+    if fft_mode == "fold1":
+        raise ValueError(
+            "fft_mode='fold1' hoists x_B = irfft2(C*B) out of the loop, which "
+            "requires rho (hence C) fixed for the whole solve; the adaptive "
+            "solver re-balances rho — use 'fold' here"
+        )
     if check_every < 1 or max_iters % check_every != 0:
         raise ValueError(
             f"check_every ({check_every}) must be >= 1 and divide "

@@ -43,13 +43,14 @@ def make_inputs():
 def main():
     y, psf = make_inputs()
 
-    # The folded half-H MXU DFT path ("fold": Hermitian-symmetric DFT by
-    # matmul, ~26% fewer MXU FLOPs than the plain "mxu" mode) is ~2.8x the
-    # XLA-FFT path on TPU, and the fused Pallas stencil (D -> prox -> dual
-    # -> D^T in one VMEM pass) takes the non-DFT part of each iteration from
-    # ~3 ms to ~1.8 ms.
+    # The fast path stacks three TPU-first designs: the folded half-H MXU
+    # DFT ("fold1": Hermitian-symmetric DFT by matmul, ~26% fewer MXU FLOPs
+    # than plain "mxu") runs its loop matmuls at bf16x1 — made parity-grade
+    # by the delta-form x-update (x = x_B + irfft(rho*C . rfft(q)), x_B
+    # hoisted and exact; see ops/solver.py) — and the fused Pallas stencil
+    # (D -> prox -> dual -> D^T in one VMEM pass) covers the non-DFT part.
     on_tpu = jax.default_backend() != "cpu"
-    fft_mode = "fold" if on_tpu else "xla"
+    fft_mode = "fold1" if on_tpu else "xla"
     prox_impl = "pallas" if on_tpu else "xla"
 
     def solve(y):

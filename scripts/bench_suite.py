@@ -75,7 +75,7 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() != "cpu"
-    fast_fft = "fold" if on_tpu else "xla"
+    fast_fft = "fold1" if on_tpu else "xla"
     fast_prox = "pallas" if on_tpu else "xla"
     results = []
 

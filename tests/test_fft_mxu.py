@@ -122,6 +122,56 @@ class TestSolverFftModes:
         )
         np.testing.assert_allclose(np.asarray(x_fold), np.asarray(x_xla), atol=1e-4)
 
+    def test_fold1_matches_xla(self, rng):
+        """Delta-form bf16x1 mode: on CPU all precisions are fp32, so fold1
+        must match xla to float noise — this validates the x_B hoisting /
+        rho-folded-multiplier restructuring itself (the bf16 accuracy claim
+        is measured on TPU: BASELINE.md round-2 precision ladder)."""
+        img = np.clip(rng.random((2, 32, 32, 3)), 0, 1).astype(np.float32)
+        psf = np.zeros((5, 5), np.float32)
+        psf[2, :] = 0.2
+        y = jnp.asarray(img)
+        x_xla = tv_deconvolve(y, psf=psf, lam=0.01, rho=0.05, iters=15, fft_mode="xla")
+        x_f1 = tv_deconvolve(y, psf=psf, lam=0.01, rho=0.05, iters=15, fft_mode="fold1")
+        np.testing.assert_allclose(np.asarray(x_f1), np.asarray(x_xla), atol=1e-4)
+
+    def test_fold1_per_image_rho_denoise_and_state_path(self, rng):
+        y = jnp.asarray(rng.random((2, 31, 33, 1)), jnp.float32)
+        rho = jnp.asarray([0.05, 0.08])
+        x_xla, d_xla = tv_deconvolve(
+            y, None, lam=0.01, rho=rho, iters=12, fft_mode="xla",
+            return_diagnostics=True,
+        )
+        x_f1, d_f1 = tv_deconvolve(
+            y, None, lam=0.01, rho=rho, iters=12, fft_mode="fold1",
+            return_diagnostics=True,
+        )
+        np.testing.assert_allclose(np.asarray(x_f1), np.asarray(x_xla), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(d_f1.r_norm), np.asarray(d_xla.r_norm), rtol=1e-3
+        )
+
+    def test_fold1_differentiable(self, rng):
+        y = jnp.asarray(rng.random((16, 16)), jnp.float32)
+
+        def loss(lam):
+            return jnp.mean(
+                tv_deconvolve(y, None, lam=lam, rho=0.5, iters=5, fft_mode="fold1") ** 2
+            )
+
+        g = jax.grad(loss)(0.05)
+        ref = jax.grad(
+            lambda lam: jnp.mean(
+                tv_deconvolve(y, None, lam=lam, rho=0.5, iters=5, fft_mode="xla") ** 2
+            )
+        )(0.05)
+        np.testing.assert_allclose(float(g), float(ref), rtol=1e-3)
+
+    def test_fold1_rejected_by_adaptive(self, rng):
+        y = jnp.asarray(rng.random((8, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="fold1"):
+            tv_deconvolve_adaptive(y, None, lam=0.01, fft_mode="fold1")
+
     def test_fold_adaptive_matches_xla(self, rng):
         y = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
         psf = np.full((3, 3), 1 / 9, np.float32)

@@ -212,10 +212,14 @@ def _tiled_solve(
     rep = P()  # replicated
     # Mesh axes every shard-local value may vary over (for psum'd consensus).
     all_axes = (axis_name,) if d_ax is None else (axis_name, d_ax)
-    folded = fft_mode in ("fold", "fold_precise")
-    prec = (
-        jax.lax.Precision.HIGH if fft_mode == "fold" else jax.lax.Precision.HIGHEST
-    )
+    folded = fft_mode in ("fold", "fold1", "fold_precise")
+    delta = fft_mode == "fold1"  # delta-form x-update, bf16x1 loop matmuls
+    if fft_mode == "fold1":
+        prec = jax.lax.Precision.DEFAULT
+    elif fft_mode == "fold":
+        prec = jax.lax.Precision.HIGH
+    else:
+        prec = jax.lax.Precision.HIGHEST
     sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y.dtype))
 
     def tile_fn(y_tile, lap_full, otf_full, lam, rho, state0):
@@ -228,20 +232,37 @@ def _tiled_solve(
             otf_cols = _col_slice(otf_full, axis_name, wp)
             denom_h = jnp.abs(otf_cols) ** 2
             b_cols = jnp.conj(otf_cols) * _dist_rfft2(y_tile, axis_name, wp)
-        if folded:
+        if folded and not delta:
             b_fold = fold_hermitian(b_cols)
 
         nl = y_tile.shape[0]  # local batch (n / data-axis size)
         lam_l = lam[:, None, None]
         rho_l = rho[:, None, None]
 
-        def x_update(state, rho_c):
-            c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+        if delta:
+            # Delta-form precompute (rho fixed for the whole solve): the
+            # image-scale x_B = irfft2(C * B) once via the exact XLA FFT
+            # path, and the folded rho*C loop multiplier — the distributed
+            # analogue of the single-chip fold1 mode (ops/solver.py).
+            c_cols0 = 1.0 / (denom_h + rho_l * lap_cols)
+            x_b = _dist_irfft2(c_cols0 * b_cols, axis_name, w, wf)
+            ce_d, co_d = fold_even_odd(rho_l * c_cols0)
+
+        def x_update(state, rho_c, prec_x=prec):
             q = _grad2d_adjoint_tiled(
                 state.zx - state.ux, state.zy - state.uy, axis_name
             )
-            if folded:
-                qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(q, axis_name, wp, prec)
+            if delta:
+                f = _dist_rfft2_fold(q, axis_name, wp, prec_x)
+                x = x_b + _dist_irfft2_fold(
+                    *spectral_scale_folded(f, ce_d, co_d),
+                    axis_name, h, w, wf, prec_x,
+                )
+            elif folded:
+                c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+                qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(
+                    q, axis_name, wp, prec_x
+                )
                 rhs = (
                     b_fold[0] + rho_c * qa_re,
                     b_fold[1] + rho_c * qa_im,
@@ -250,9 +271,10 @@ def _tiled_solve(
                 )
                 ce, co = fold_even_odd(c_cols)
                 x = _dist_irfft2_fold(
-                    *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec
+                    *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec_x
                 )
             else:
+                c_cols = 1.0 / (denom_h + rho_c * lap_cols)
                 qhat = _dist_rfft2(q, axis_name, wp)
                 xhat = c_cols * (b_cols + rho_c * qhat)
                 x = _dist_irfft2(xhat, axis_name, w, wf)
@@ -260,8 +282,8 @@ def _tiled_solve(
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
             return x
 
-        def one_iter(state, rho_c):
-            x = x_update(state, rho_c)
+        def one_iter(state, rho_c, prec_x=prec):
+            x = x_update(state, rho_c, prec_x)
             dxx, dxy = _grad2d_tiled(x, axis_name)
             tau = lam_l / rho_c
             zx, zy, ux, uy = prox_lib.prox_dual_step(
@@ -309,15 +331,20 @@ def _tiled_solve(
         rho0 = varying_data(jnp.broadcast_to(rho_l, (nl, 1, 1)))
 
         if not early_stop and not adapt_rho:
-            # Fixed-iteration scan (differentiable), residuals once at the end.
+            # Fixed-iteration scan (differentiable), residuals once at the
+            # end; the LAST iteration runs outside the scan so fold1 can
+            # produce the output x at HIGH precision (matching the
+            # single-chip fold1 post-loop solve).
             def body(carry, _):
                 state, _, _ = one_iter(carry[0], rho0)
                 return (state, carry[0].zx, carry[0].zy), None
 
-            (state, zpx, zpy), _ = jax.lax.scan(
-                body, (st0, st0.zx, st0.zy), None, length=iters
+            (state, _, _), _ = jax.lax.scan(
+                body, (st0, st0.zx, st0.zy), None, length=iters - 1
             )
-            dxx, dxy = _grad2d_tiled(state.x, axis_name)
+            zpx, zpy = state.zx, state.zy
+            final_prec = jax.lax.Precision.HIGH if delta else prec
+            state, dxx, dxy = one_iter(state, rho0, prec_x=final_prec)
             r_norm, s_norm, _ = residuals(state, zpx, zpy, dxx, dxy, rho0)
             it_img = varying_data(jnp.full((nl,), iters, jnp.int32))
             return state.x, r_norm, s_norm, it_img, rho0[:, 0, 0], state
@@ -414,9 +441,12 @@ def tiled_tv_deconvolve(
       data_axis_name: optional second mesh axis sharding the folded
         batch*channel axis — BASELINE config 5's multi-frame tiled case
         (``B*C`` must divide by its size).
-      fft_mode: "xla" (native FFTs) or "fold"/"fold_precise" — the MXU
-        matmul DFT in the folded half-H representation, the fast path on
-        real TPU meshes (same collective bytes, DFT FLOPs on the MXU).
+      fft_mode: "xla" (native FFTs), "fold"/"fold_precise" — the MXU matmul
+        DFT in the folded half-H representation (same collective bytes, DFT
+        FLOPs on the MXU) — or "fold1", the delta-form bf16x1 variant
+        (x_B hoisted and computed once exactly, loop matmuls at DEFAULT,
+        final solve at HIGH; see ``ops/solver.py``).  "fold1" requires a
+        fixed rho and is rejected with ``adapt_rho=True``.
       init_state: warm-start :class:`ADMMState` from a previous
         ``return_state=True`` tiled solve (arrays in the folded
         ``(B*C, H, W)`` layout).
@@ -426,9 +456,15 @@ def tiled_tv_deconvolve(
     Returns ``x`` (same shape as input, H-sharded), optionally followed by
     diagnostics and/or state.
     """
-    if fft_mode not in ("xla", "fold", "fold_precise"):
+    if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
         raise ValueError(
-            f"tiled solver fft_mode must be xla/fold/fold_precise, got {fft_mode!r}"
+            f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "
+            f"got {fft_mode!r}"
+        )
+    if fft_mode == "fold1" and adapt_rho:
+        raise ValueError(
+            "fft_mode='fold1' hoists x_B out of the loop, which requires rho "
+            "fixed for the whole solve; use 'fold' with adapt_rho"
         )
     if mesh is None:
         raise ValueError("tiled_tv_deconvolve requires a mesh")

@@ -108,6 +108,51 @@ class TestTiledSolver:
             np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-4
         )
 
+    @pytest.mark.parametrize("use_psf", [False, True])
+    def test_fold1_matches_single_device(self, rng, mesh8, use_psf):
+        """Distributed delta-form bf16x1 mode: on CPU all precisions are
+        fp32, so this validates the x_B hoisting / rho-folded multiplier /
+        final-iteration-outside-the-scan restructuring exactly."""
+        img = _img(rng)
+        psf = None
+        if use_psf:
+            psf = np.zeros((5, 5), np.float32)
+            psf[2, :] = 0.2
+        y = jnp.asarray(img)
+        expected = tv_deconvolve(y, psf=psf, lam=0.01, rho=0.05, iters=15)
+        got = tiled_tv_deconvolve(
+            y, psf=psf, lam=0.01, rho=0.05, iters=15, mesh=mesh8,
+            fft_mode="fold1",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_fold1_early_stop_and_per_image_rho(self, rng, mesh8):
+        imgs = np.stack([_img(rng), _img(rng)])[..., None]
+        y = jnp.asarray(imgs)
+        rho = jnp.asarray([0.3, 0.6])
+        expected, d_exp = tiled_tv_deconvolve(
+            y, None, lam=0.02, rho=rho, iters=40, mesh=mesh8,
+            early_stop=True, return_diagnostics=True,
+        )
+        got, d_got = tiled_tv_deconvolve(
+            y, None, lam=0.02, rho=rho, iters=40, mesh=mesh8,
+            early_stop=True, fft_mode="fold1", return_diagnostics=True,
+        )
+        assert int(d_got.iterations) == int(d_exp.iterations)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_fold1_rejected_with_adapt_rho(self, rng, mesh8):
+        y = jnp.asarray(_img(rng))
+        with pytest.raises(ValueError, match="fold1"):
+            tiled_tv_deconvolve(
+                y, None, lam=0.02, rho=0.5, iters=5, mesh=mesh8,
+                adapt_rho=True, fft_mode="fold1",
+            )
+
     def test_fold_mode_adapt_rho(self, rng, mesh8):
         img = _img(rng)
         ref = tiled_tv_deconvolve(

@@ -14,6 +14,7 @@ Layout convention: NHWC ``(batch, height, width, channels)`` everywhere
 from admm_deconv_tpu.ops.solver import (
     tv_deconvolve,
     tv_deconvolve_adaptive,
+    tv_deconvolve_anderson,
     ADMMState,
     ADMMDiagnostics,
 )
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
     "tv_deconvolve_implicit",
     "ADMMState",

@@ -7,7 +7,11 @@ implementations collapse into one jit-compiled, backend-agnostic path).
 from admm_deconv_tpu.ops.fft import psf_to_otf, laplacian_spectrum
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops import prox
-from admm_deconv_tpu.ops.solver import tv_deconvolve, tv_deconvolve_adaptive
+from admm_deconv_tpu.ops.solver import (
+    tv_deconvolve,
+    tv_deconvolve_adaptive,
+    tv_deconvolve_anderson,
+)
 from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
 from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
 
@@ -19,6 +23,7 @@ __all__ = [
     "prox",
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
     "tv_deconvolve_implicit",
 ]

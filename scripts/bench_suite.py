@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--train", action="store_true", help="include the flagship train step (slow compile)")
     ap.add_argument("--pallas-parity", dest="pallas_parity", action="store_true",
                     help="compiled Pallas kernels vs jnp composition on this backend")
+    ap.add_argument("--anderson", action="store_true",
+                    help="Anderson-accelerated solver: iterations-to-residual "
+                         "vs plain + per-iteration overhead")
     ap.add_argument("--skip-solves", dest="skip_solves", action="store_true",
                     help="skip the 1080p/parity/adaptive solve benches")
     ap.add_argument("--out", default=None, help="also write a JSON array here")
@@ -129,6 +132,56 @@ def main():
             "rho_final_range": [round(float(jnp.min(diag.rho)), 4),
                                 round(float(jnp.max(diag.rho)), 4)],
         })
+
+    if args.anderson:
+        # How many iterations does Anderson acceleration save, and what does
+        # it cost per iteration?  Reference blocks scenario at 256^2.
+        from admm_deconv_tpu.ops.solver import tv_deconvolve_anderson
+
+        rng = np.random.default_rng(1)
+        tiles = rng.random((3, 16, 16, 3)) > 0.5
+        clean = np.clip(
+            0.2 + np.kron(tiles, np.ones((1, 16, 16, 1))) * 0.4, 0, 1
+        ).astype(np.float32)
+        psf_np = np.asarray(motion_psf())
+        blurred = sum(
+            psf_np[a, c] * np.roll(clean, (a - 3, c - 3), (1, 2))
+            for a in range(7) for c in range(7)
+        )
+        ya = jnp.asarray(blurred)
+        kw = dict(psf=motion_psf(), lam=LAM, rho=RHO)
+        _, d_plain = tv_deconvolve(ya, iters=100, return_diagnostics=True, **kw)
+        target = float(jnp.max(d_plain.r_norm))
+        aa_needed, aa_res = None, None
+        for it in (20, 30, 40, 50, 75, 100):
+            _, d_aa = tv_deconvolve_anderson(ya, iters=it, **kw)
+            aa_res = float(jnp.max(d_aa.r_norm))
+            if aa_res <= target:
+                aa_needed = it
+                break
+        emit(results, {
+            "bench": "anderson_256",
+            "plain_iters": 100, "plain_r_norm": round(target, 5),
+            "aa_iters_to_match": aa_needed,
+            "aa_r_norm": round(aa_res, 5) if aa_res is not None else None,
+        })
+        if not args.skip_solves:
+            # Per-iteration overhead at the 1080p bench shape (m=5 window).
+            img = jnp.asarray(
+                np.random.default_rng(0).random((4, 1080, 1920, 3)), jnp.float32
+            )
+            fa = lambda v: tv_deconvolve_anderson(
+                v, psf=motion_psf(), lam=LAM, rho=RHO, iters=ITERS,
+                fft_mode=fast_fft, prox_impl=fast_prox,
+            )[0]
+            timer = IterationTimer(fa, lambda i: (img + 1e-3 * i,))
+            stats = timer.measure(repeats=3)
+            emit(results, {
+                "bench": "anderson_1080p_overhead",
+                "path": f"{fast_fft}+{fast_prox}",
+                "s_per_solve": round(stats["seconds_per_call"], 4),
+                "iters_per_s": round(ITERS / stats["seconds_per_call"], 2),
+            })
 
     if args.pallas_parity:
         # Kernel-vs-jnp numeric agreement ON THIS BACKEND (the CI suite only

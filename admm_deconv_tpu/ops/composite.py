@@ -83,6 +83,15 @@ def composite_tv_deconvolve(
         from admm_deconv_tpu.ops.fft_mxu import fold_even_odd
 
         c_spec = fold_even_odd(c_spec)
+    elif fft_mode == "fold1":
+        # Delta-form precompute (ops/solver.py fold1): x_B once exactly,
+        # rho1*C folded for the bf16x1 loop matmuls — valid since both
+        # penalties are fixed for the whole solve.
+        from admm_deconv_tpu.ops.fft_mxu import fold_even_odd
+
+        x_b = jnp.fft.irfft2(c_spec * b_f, s=(h, w))
+        c_spec = fold_even_odd(rho1_f * c_spec)
+        b_f = x_b
 
     lo, hi = (None, None) if x_bounds is None else x_bounds
 

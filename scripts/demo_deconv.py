@@ -72,10 +72,21 @@ def main(argv=None):
     p.add_argument(
         "--fft-mode",
         default="xla",
-        help='x-update FFT backend; "fold" is the fastest TPU mode ("xla" is '
-        "exact and CPU-friendly)",
+        help='x-update FFT backend; "fold1" is the fastest TPU mode ("xla" '
+        "is exact and CPU-friendly)",
+    )
+    p.add_argument(
+        "--prox-impl", default="xla",
+        help='"pallas" = fused TPU stencil kernel',
+    )
+    p.add_argument(
+        "--anderson", action="store_true",
+        help="Anderson-accelerated solve (2x fewer iterations to a given "
+        "residual; fixed rho)",
     )
     args = p.parse_args(argv)
+    if args.adaptive and args.anderson:
+        p.error("--adaptive and --anderson are mutually exclusive")
 
     if args.src:
         paths = sorted(glob.glob(os.path.join(args.src, "*")))[:8]
@@ -101,10 +112,18 @@ def main(argv=None):
             max_iters=args.iters * 3, prox=prox, fft_mode=args.fft_mode,
         )
         extra = f" (adaptive: {int(diag.iterations)} iters, rho[0]={float(diag.rho[0]):.4f})"
+    elif args.anderson:
+        restored, diag = adt.tv_deconvolve_anderson(
+            batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
+            iters=args.iters, prox=prox, fft_mode=args.fft_mode,
+            prox_impl=args.prox_impl,
+        )
+        extra = f" (anderson: r_norm={float(jnp.max(diag.r_norm)):.5f})"
     else:
         restored = adt.tv_deconvolve(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
             iters=args.iters, prox=prox, fft_mode=args.fft_mode,
+            prox_impl=args.prox_impl,
         )
         extra = ""
     restored = jnp.clip(restored, 0.0, 1.0)

@@ -95,3 +95,14 @@ class TestComposite:
             fft_mode="mxu_precise",
         )
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+    def test_fold1_mode_matches(self, rng):
+        """Delta-form bf16x1 mode (fp32 on CPU): validates the x_B hoist
+        with the rho2-augmented denominator."""
+        y = jnp.asarray(_sparse_scene(rng), jnp.float32)
+        psf = np.full((3, 3), 1 / 9, np.float32)
+        kw = dict(lam_tv=0.05, lam_l1=0.02, rho1=0.5, rho2=0.5, iters=20,
+                  x_bounds=(0.0, 1.0))
+        a = composite_tv_deconvolve(y, psf, **kw)
+        b = composite_tv_deconvolve(y, psf, fft_mode="fold1", **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

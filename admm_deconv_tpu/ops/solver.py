@@ -760,6 +760,7 @@ def tv_deconvolve_adaptive(
     jax.jit,
     static_argnames=(
         "iters", "prox", "x_bounds", "m", "fft_mode", "prox_impl",
+        "early_stop",
     ),
 )
 def tv_deconvolve_anderson(
@@ -773,6 +774,9 @@ def tv_deconvolve_anderson(
     m: int = 5,
     aa_reg: float = 1e-10,
     safeguard_factor: float = 1e6,
+    early_stop: bool = False,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-3,
     fft_mode: str = "xla",
     prox_impl: str = "xla",
 ):
@@ -794,6 +798,11 @@ def tv_deconvolve_anderson(
     ``safeguard_factor * ||f_0|| * (k_acc + 1)^-(1+1e-6)`` (the decay
     condition of Zhang-O'Donoghue-Boyd type-I safeguarding); a violating
     image falls back to its plain ADMM step and restarts its window.
+
+    ``early_stop=True`` adds Boyd-style per-image stopping (``eps_abs`` /
+    ``eps_rel``, same criteria as :func:`tv_deconvolve_adaptive`) via
+    ``lax.while_loop`` with ``iters`` as the cap — the accelerated sequence
+    simply reaches the tolerance in fewer iterations.
 
     Memory: two ``(m+1, N, 4*H*W)`` histories — budget ``m`` accordingly for
     large frames.  ``rho`` is fixed for the whole solve (any ``fft_mode``
@@ -840,8 +849,9 @@ def tv_deconvolve_anderson(
     s0 = jnp.zeros((n, 4, h, w), dtype=y_f.dtype)
     hist0 = jnp.zeros((m + 1, n, d), dtype=y_f.dtype)
 
-    def body(carry, _):
-        s, S, F, filled, k_acc, res0, _r, _res = carry
+    def aa_core(s, S, F, filled, k_acc, res0):
+        """One T evaluation + windowed extrapolation.  Returns the next
+        iterate plus updated histories, per-image norms, and the raw t."""
         t, r_norm = t_map(s)
         f = (t - s).reshape(n, d)
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
@@ -874,14 +884,64 @@ def tv_deconvolve_anderson(
         take = (filled >= 2) & (res <= bound)
         k_acc = jnp.where(take, k_acc + 1.0, k_acc)
         s_next = jnp.where(take[:, None], s_aa, t.reshape(n, d))
-        return (s_next.reshape(n, 4, h, w), S, F, filled, k_acc, res0, r_norm, res), None
+        return s_next.reshape(n, 4, h, w), S, F, filled, k_acc, res0, r_norm, res, t
 
-    res0 = jnp.full((n,), -1.0, dtype=y_f.dtype)
-    k_acc = jnp.zeros((n,), dtype=y_f.dtype)
-    carry0 = (s0, hist0, hist0, jnp.asarray(0), k_acc, res0, res0, res0)
-    (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
-        body, carry0, None, length=iters - 1
-    )
+    res0_init = jnp.full((n,), -1.0, dtype=y_f.dtype)
+    k_acc_init = jnp.zeros((n,), dtype=y_f.dtype)
+
+    if early_stop:
+        # Boyd-style stopping on the (extrapolated) iterate sequence: the
+        # dual residual uses consecutive z's and the dual variable exactly as
+        # in tv_deconvolve_adaptive; once every image satisfies both
+        # tolerances the loop exits.  rho stays fixed (AA requires it).
+        sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y_f.dtype))
+        rho_v = jnp.broadcast_to(jnp.squeeze(rho_f), (n,)).astype(y_f.dtype)
+
+        def cond(carry):
+            it, done = carry[-2], carry[-1]
+            return jnp.logical_and(
+                it < iters - 1, jnp.logical_not(jnp.all(done))
+            )
+
+        def wbody(carry):
+            s, S, F, filled, k_acc, res0, _r, _res, it, _done = carry
+            s2, S, F, filled, k_acc, res0, r_norm, res, t = aa_core(
+                s, S, F, filled, k_acc, res0
+            )
+            dz = grad2d_adjoint(t[:, 0] - s[:, 0], t[:, 1] - s[:, 1])
+            s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
+            z_norm = jnp.sqrt(jnp.sum(t[:, 0] ** 2 + t[:, 1] ** 2, axis=(-2, -1)))
+            dual = grad2d_adjoint(t[:, 2], t[:, 3])
+            dual_norm = rho_v * jnp.sqrt(jnp.sum(dual * dual, axis=(-2, -1)))
+            eps_pri = sqrt_dim * eps_abs + eps_rel * z_norm
+            eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
+            done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
+            return (s2, S, F, filled, k_acc, res0, r_norm, res, it + 1, done)
+
+        carry0 = (
+            s0, hist0, hist0, jnp.asarray(0), k_acc_init, res0_init,
+            res0_init, res0_init, jnp.asarray(0), jnp.zeros((n,), bool),
+        )
+        s, _, _, _, _, _, r_norm, fp_res, it_fin, _ = jax.lax.while_loop(
+            cond, wbody, carry0
+        )
+        iters_run = it_fin + 1  # + the final output solve below
+    else:
+        def body(carry, _):
+            s, S, F, filled, k_acc, res0, _r, _res = carry
+            s2, S, F, filled, k_acc, res0, r_norm, res, _t = aa_core(
+                s, S, F, filled, k_acc, res0
+            )
+            return (s2, S, F, filled, k_acc, res0, r_norm, res), None
+
+        carry0 = (
+            s0, hist0, hist0, jnp.asarray(0), k_acc_init, res0_init,
+            res0_init, res0_init,
+        )
+        (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
+            body, carry0, None, length=iters - 1
+        )
+        iters_run = jnp.asarray(iters)
     # One final solve produces the output image from the accelerated state —
     # same total solve count as tv_deconvolve (iters-1 loop + 1); residual
     # diagnostics are from the last loop iteration.  fold1: final at HIGH.
@@ -895,7 +955,7 @@ def tv_deconvolve_anderson(
     diags = ADMMDiagnostics(
         r_norm=r_norm,
         s_norm=fp_res,
-        iterations=jnp.asarray(iters),
+        iterations=iters_run,
         rho=jnp.broadcast_to(jnp.squeeze(rho_f), (n,)),
     )
     return _unfold(x, b, c).reshape(orig_shape), diags

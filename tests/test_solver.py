@@ -455,3 +455,21 @@ class TestAnderson:
             tv_deconvolve_anderson(y, psf=psf, m=0)
         with pytest.raises(ValueError, match="iters"):
             tv_deconvolve_anderson(y, psf=psf, iters=1)
+
+    def test_early_stop_beats_plain_iteration_count(self, rng):
+        """AA with Boyd stopping must reach tolerance in fewer iterations
+        than the plain early-stopping solver at the same (fixed) rho."""
+        y, psf, _ = self._scenario(rng)
+        kw = dict(psf=psf, lam=0.0041, rho=0.021)
+        _, d_plain = tv_deconvolve_adaptive(
+            y, max_iters=400, adapt_rho=False, **kw
+        )
+        x_aa, d_aa = tv_deconvolve_anderson(
+            y, iters=400, early_stop=True, **kw
+        )
+        assert int(d_aa.iterations) < int(d_plain.iterations), (
+            int(d_aa.iterations), int(d_plain.iterations),
+        )
+        # And it stopped before the cap, at a finite solution.
+        assert int(d_aa.iterations) < 400
+        assert bool(jnp.all(jnp.isfinite(x_aa)))

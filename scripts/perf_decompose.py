@@ -105,6 +105,26 @@ def spectral_folded_body(x):
     return (x,)
 
 
+def make_delta_consts():
+    x_b = jnp.fft.irfft2(C_SPEC * (BR + 1j * BI), s=(H, W))
+    ce, co = fold_even_odd(RHO * C_SPEC)
+    return x_b, ce, co
+
+
+_DELTA = jax.jit(make_delta_consts)()
+
+
+def spectral_fold1_body(x):
+    """Delta-form bf16x1 fold path (fft_mode='fold1')."""
+    x_b, ce, co = _DELTA
+    prec = jax.lax.Precision.DEFAULT
+    f = rfft2_mxu_folded(x, precision=prec)
+    x = x_b + irfft2_mxu_folded(
+        *spectral_scale_folded(f, ce, co), (H, W), precision=prec
+    )
+    return (x,)
+
+
 def stencil_body(zx, zy, ux, uy):
     q = grad2d_adjoint(zx - ux, zy - uy)
     dxx, dxy = grad2d(q)
@@ -155,6 +175,7 @@ def main():
     t_full = time_loop("full", full_body, four)
     t_spec = time_loop("spectral", spectral_body, lambda i: (plane(i),))
     time_loop("spec_fold", spectral_folded_body, lambda i: (plane(i),))
+    time_loop("spec_fold1", spectral_fold1_body, lambda i: (plane(i),))
     t_sten = time_loop("stencil", stencil_body, four)
     t_rfft = time_loop("rfft", rfft_body2, lambda i: (plane(i),))
     t_irfft = time_loop("irfft", irfft_body, spec_pair)

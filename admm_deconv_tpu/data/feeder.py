@@ -153,8 +153,8 @@ class DataLoader:
     ):
         if process_count > 1 and batch_size % process_count != 0:
             raise ValueError(
-                f"global batch_size {batch_size} must divide process_count "
-                f"{process_count}"
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {process_count}"
             )
         if not 0 <= process_index < process_count:
             raise ValueError(f"process_index {process_index} out of range")

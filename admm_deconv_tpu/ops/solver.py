@@ -98,6 +98,30 @@ _FFT_MODES = (
 )
 
 
+def resolve_fft_mode(fft_mode: str, adaptive: bool = False) -> str:
+    """Resolve ``"auto"`` to the fastest mode for the current backend.
+
+    On TPU that is the delta-form bf16x1 ``"fold1"`` path (parity-grade, see
+    BASELINE.md), or ``"fold"`` for adaptive-rho solvers (fold1 hoists
+    ``x_B`` out of the loop, which needs rho fixed).  On CPU the native XLA
+    FFT wins (the MXU DFT-by-matmul ladder is a TPU design).  Any explicit
+    mode passes through untouched.
+    """
+    if fft_mode != "auto":
+        return fft_mode
+    if jax.default_backend() == "cpu":
+        return "xla"
+    return "fold" if adaptive else "fold1"
+
+
+def resolve_prox_impl(prox_impl: str) -> str:
+    """Resolve ``"auto"``: the fused Pallas stencil on accelerators, the
+    XLA-fused jnp composition on CPU (interpreted Pallas is slow there)."""
+    if prox_impl != "auto":
+        return prox_impl
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 def _fft_precision(fft_mode: str):
     if fft_mode == "fold1":
         return jax.lax.Precision.DEFAULT
@@ -530,20 +554,18 @@ def tv_deconvolve(
         zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
         state = ADMMState(zeros, zeros, zeros, zeros, zeros)
 
-    def body(state: ADMMState, _):
-        x = _x_update(
-            b_f,
-            c_spec,
-            rho_f,
-            state.zx,
-            state.zy,
-            state.ux,
-            state.uy,
-            h,
-            w,
-            x_bounds,
-            fft_mode,
-        )
+    # fold1 runs its loop solves at bf16x1; the carry tracks the q that
+    # produced state.x so one post-loop HIGH-precision re-solve can replace
+    # the returned image (same q, better transform precision) — matching the
+    # fast path's documented final-solve-at-HIGH behavior.
+    track_q = fft_mode == "fold1" and iters >= 1
+
+    def body(carry, _):
+        state, _ = carry
+        q = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
+        x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
+        if x_bounds is not None:
+            x = jnp.clip(x, x_bounds[0], x_bounds[1])
         dxx, dxy = grad2d(x)
         if alpha != 1.0:
             # Over-relaxation: blend D x with the previous z before the
@@ -561,13 +583,22 @@ def tv_deconvolve(
             dz = grad2d_adjoint(zx - state.zx, zy - state.zy)
             s = jnp.squeeze(rho_f, axis=(-2, -1)) if rho_f.ndim else rho_f
             s = s * jnp.sqrt(jnp.sum(dz**2, axis=(-2, -1)))
-            return new_state, (r, s)
-        return new_state, None
+            return (new_state, q), (r, s)
+        return (new_state, q), None
 
     if remat:
         body = jax.checkpoint(body)
 
-    state, ys = jax.lax.scan(body, state, None, length=iters)
+    q0 = jnp.zeros((n, h, w), dtype=y_f.dtype)
+    (state, q_last), ys = jax.lax.scan(body, (state, q0), None, length=iters)
+    if track_q:
+        x_hi = _solve_spectral(
+            b_f, c_spec, rho_f, q_last, h, w, fft_mode,
+            precision=jax.lax.Precision.HIGH,
+        )
+        if x_bounds is not None:
+            x_hi = jnp.clip(x_hi, x_bounds[0], x_bounds[1])
+        state = state._replace(x=x_hi)
     x = _unfold(state.x, b, c).reshape(orig_shape)
 
     out = (x,)
@@ -857,16 +888,17 @@ def tv_deconvolve_anderson(
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
         res0 = jnp.where(res0 < 0, res, res0)  # first-iteration residual
 
-        # Ring-buffer append at the oldest slot.
+        # Ring-buffer append at the oldest slot.  ``filled`` is PER IMAGE so
+        # one image's safeguard restart never truncates another's window.
         S = jnp.concatenate([S[1:], s.reshape(1, n, d)], axis=0)
         F = jnp.concatenate([F[1:], f[None]], axis=0)
-        filled = jnp.minimum(filled + 1, m + 1)
+        filled = jnp.minimum(filled + 1, m + 1)  # (N,)
 
-        # Differences over the filled window (unfilled pairs masked to 0 so
-        # the regularized Gram solve sends their gamma to ~0).
+        # Differences over each image's filled window (unfilled pairs masked
+        # to 0 so the regularized Gram solve sends their gamma to ~0).
         dS = S[1:] - S[:-1]  # (m, N, D)
         dF = F[1:] - F[:-1]
-        valid = (jnp.arange(m) >= (m + 1 - filled))[:, None, None]
+        valid = (jnp.arange(m)[:, None] >= (m + 1 - filled)[None, :])[:, :, None]
         dS = jnp.where(valid, dS, 0.0)
         dF = jnp.where(valid, dF, 0.0)
         gram = jnp.einsum("knd,lnd->nkl", dF, dF)
@@ -879,10 +911,13 @@ def tv_deconvolve_anderson(
 
         # Per-image decay safeguard (no extra T evaluations): while residuals
         # keep decaying, extrapolate; a blow-up falls back to the plain step
-        # and restarts that image's window implicitly via the ring buffer.
+        # AND restarts that image's window (filled reset to 1: only the
+        # just-appended entry survives, so extrapolation resumes from fresh
+        # post-fallback history — Zhang-O'Donoghue-Boyd type-I restart).
         bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)
         take = (filled >= 2) & (res <= bound)
         k_acc = jnp.where(take, k_acc + 1.0, k_acc)
+        filled = jnp.where(take, filled, jnp.minimum(filled, 1))
         s_next = jnp.where(take[:, None], s_aa, t.reshape(n, d))
         return s_next.reshape(n, 4, h, w), S, F, filled, k_acc, res0, r_norm, res, t
 
@@ -919,8 +954,9 @@ def tv_deconvolve_anderson(
             return (s2, S, F, filled, k_acc, res0, r_norm, res, it + 1, done)
 
         carry0 = (
-            s0, hist0, hist0, jnp.asarray(0), k_acc_init, res0_init,
-            res0_init, res0_init, jnp.asarray(0), jnp.zeros((n,), bool),
+            s0, hist0, hist0, jnp.zeros((n,), jnp.int32), k_acc_init,
+            res0_init, res0_init, res0_init, jnp.asarray(0),
+            jnp.zeros((n,), bool),
         )
         s, _, _, _, _, _, r_norm, fp_res, it_fin, _ = jax.lax.while_loop(
             cond, wbody, carry0
@@ -935,8 +971,8 @@ def tv_deconvolve_anderson(
             return (s2, S, F, filled, k_acc, res0, r_norm, res), None
 
         carry0 = (
-            s0, hist0, hist0, jnp.asarray(0), k_acc_init, res0_init,
-            res0_init, res0_init,
+            s0, hist0, hist0, jnp.zeros((n,), jnp.int32), k_acc_init,
+            res0_init, res0_init, res0_init,
         )
         (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
             body, carry0, None, length=iters - 1

@@ -106,14 +106,19 @@ class Trainer:
         )
         self.mesh = None
         n_data = config.mesh_batch
-        if n_data <= 0 or jax.process_count() > 1:
-            n_data = jax.device_count()  # all devices, all processes
-        if jax.process_count() > 1 and n_data != jax.device_count():
-            raise ValueError(
-                "multi-process training requires the data mesh to span all "
-                f"devices: mesh_batch={config.mesh_batch} but "
-                f"device_count={jax.device_count()}"
-            )
+        if jax.process_count() > 1:
+            # Multi-process requires the data mesh to span every device of
+            # every process; reject an explicit conflicting setting BEFORE
+            # overriding (it would otherwise be silently ignored).
+            if n_data > 0 and n_data != jax.device_count():
+                raise ValueError(
+                    "multi-process training requires the data mesh to span "
+                    f"all devices: mesh_batch={config.mesh_batch} but "
+                    f"device_count={jax.device_count()}"
+                )
+            n_data = jax.device_count()
+        elif n_data <= 0:
+            n_data = jax.device_count()  # all local devices
         if n_data > 1:
             devices = np.array(jax.devices()[:n_data])
             self.mesh = jax.sharding.Mesh(devices, ("data",))

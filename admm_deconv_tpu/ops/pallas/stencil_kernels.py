@@ -94,6 +94,26 @@ def _tau_plane_vector(tau, n: int, dtype):
     return None
 
 
+def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
+    """Shared forward body given the halo-extended operand rows:
+    ``x_ext`` rows [r0-1, r1], ``ux_e``/``uy_e`` rows [r0, r1]."""
+    x_lo = x_ext[1:]  # rows [r0, r1] — (BM+1, W)
+    dxy = x_lo - x_ext[:-1]
+    dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
+    vx = dxx + ux_e
+    vy = dxy + uy_e
+    zx, zy = prox_apply(mode, vx, vy, tau)
+    ux_new = vx - zx
+    uy_new = vy - zy
+    wx = zx - ux_new  # = 2 z - v, the next rhs's spatial argument
+    wy = zy - uy_new
+    wx0 = wx[:-1]
+    # pltpu.roll requires a non-negative shift: roll by W-1 == roll by -1.
+    q_ref[0] = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
+    uxo_ref[0] = ux_new[:-1]
+    uyo_ref[0] = uy_new[:-1]
+
+
 def _fwd_kernel(
     mode,
     tau_ref,
@@ -109,27 +129,47 @@ def _fwd_kernel(
     uyo_ref,
 ):
     tau = tau_ref[pl.program_id(0), 0]
-    xc = xc_ref[0]  # (BM, W) rows [r0, r1)
     # Extended x rows [r0-1, r1]: last row of the block above, the block,
     # first row of the block below (index maps wrap mod G -> exact circular).
-    x_ext = jnp.concatenate([xp_ref[0, -1:], xc, xn_ref[0, :1]], axis=0)
-    x_lo = x_ext[1:]  # rows [r0, r1] — (BM+1, W)
-    dxy = x_lo - x_ext[:-1]
-    dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
+    x_ext = jnp.concatenate([xp_ref[0, -1:], xc_ref[0], xn_ref[0, :1]], axis=0)
     ux_e = jnp.concatenate([uxc_ref[0], uxn_ref[0, :1]], axis=0)
     uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0)
-    vx = dxx + ux_e
-    vy = dxy + uy_e
-    zx, zy = prox_apply(mode, vx, vy, tau)
-    ux_new = vx - zx
-    uy_new = vy - zy
-    wx = zx - ux_new  # = 2 z - v, the next rhs's spatial argument
-    wy = zy - uy_new
-    wx0 = wx[:-1]
-    # pltpu.roll requires a non-negative shift: roll by W-1 == roll by -1.
-    q_ref[0] = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
-    uxo_ref[0] = ux_new[:-1]
-    uyo_ref[0] = uy_new[:-1]
+    _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref)
+
+
+def _fwd_kernel_halo(
+    mode,
+    tau_ref,
+    xt_ref,
+    xb_ref,
+    uxb_ref,
+    uyb_ref,
+    xp_ref,
+    xc_ref,
+    xn_ref,
+    uxc_ref,
+    uxn_ref,
+    uyc_ref,
+    uyn_ref,
+    q_ref,
+    uxo_ref,
+    uyo_ref,
+):
+    """Forward stencil over an H-TILE of the global image: the H wrap of the
+    first/last row block is replaced by caller-provided neighbor-tile rows
+    (``x_top`` above, ``x_bot``/``ux_bot``/``uy_bot`` below); interior blocks
+    read their ±1 neighbor blocks exactly as the circular kernel does."""
+    j = pl.program_id(1)
+    g = pl.num_programs(1)
+    tau = tau_ref[pl.program_id(0), 0]
+    top = jnp.where(j == 0, xt_ref[0], xp_ref[0, -1:])
+    bot_x = jnp.where(j == g - 1, xb_ref[0], xn_ref[0, :1])
+    bot_ux = jnp.where(j == g - 1, uxb_ref[0], uxn_ref[0, :1])
+    bot_uy = jnp.where(j == g - 1, uyb_ref[0], uyn_ref[0, :1])
+    x_ext = jnp.concatenate([top, xc_ref[0], bot_x], axis=0)
+    ux_e = jnp.concatenate([uxc_ref[0], bot_ux], axis=0)
+    uy_e = jnp.concatenate([uyc_ref[0], bot_uy], axis=0)
+    _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref)
 
 
 def _bwd_kernel(
@@ -358,3 +398,92 @@ def fused_admm_stencil(
             f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
         )
     return _make_diff_stencil(mode, _default_interpret(interpret))(x, ux, uy, tau_c)
+
+
+def fused_admm_stencil_halo(
+    x: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    x_top: jnp.ndarray,
+    x_bot: jnp.ndarray,
+    ux_bot: jnp.ndarray,
+    uy_bot: jnp.ndarray,
+    tau,
+    mode: str = "aniso",
+    interpret: bool | None = None,
+):
+    """:func:`fused_admm_stencil` over an H-TILE of a larger image.
+
+    The H-direction circular wrap is replaced by explicit neighbor rows the
+    caller fetched from the adjacent tiles (the tiled distributed solver,
+    ``parallel/tiling.py``, exchanges them over the tile mesh axis with one
+    ``ppermute`` each way per iteration): ``x_top`` is the global row above
+    this tile's first row — the previous tile's last row — and ``x_bot`` /
+    ``ux_bot`` / ``uy_bot`` the global rows below the tile's last row, each
+    shaped ``(N, 1, W)``.  The W direction stays circular (W is unsharded).
+
+    Forward-only (no custom VJP): this serves the tiled solver's inference
+    paths; use the jnp composition for differentiable tiled solves.
+
+    Returns ``(q, ux_new, uy_new)`` for the local tile rows.
+    """
+    if x.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {x.shape}")
+    if mode not in MODES:
+        raise ValueError(f"unknown prox mode {mode!r}; expected one of {MODES}")
+    n, h, w = x.shape
+    for name, arr in (
+        ("x_top", x_top), ("x_bot", x_bot), ("ux_bot", ux_bot), ("uy_bot", uy_bot)
+    ):
+        if arr.shape != (n, 1, w):
+            raise ValueError(f"{name} must be (N, 1, W)={n, 1, w}, got {arr.shape}")
+    bm = _pick_block_rows(h, w, x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no usable row block for H={h}, W={w}")
+    tau_c = _tau_plane_vector(tau, n, x.dtype)
+    if tau_c is None:
+        raise ValueError(
+            f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
+        )
+    tau_n1 = jnp.broadcast_to(
+        jnp.asarray(tau_c, x.dtype).reshape(-1, 1), (n, 1)
+    )
+    # Inside shard_map every operand must agree on which mesh axes it varies
+    # over (check_vma): promote per-image operands (e.g. tau, varying only
+    # over the data axis) to the union and stamp the outputs with it.
+    args = (tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy)
+    vma = frozenset().union(*(jax.typeof(a).vma for a in args))
+
+    def _promote(a):
+        missing = tuple(vma - jax.typeof(a).vma)
+        return jax.lax.pcast(a, missing, to="varying") if missing else a
+
+    tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy = map(_promote, args)
+    g = h // bm
+    grid = (n, g)
+    blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
+    )
+    row = pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype, vma=vma)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_halo, mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row,  # x_top
+            row,  # x_bot
+            row,  # ux_bot
+            row,  # uy_bot
+            blk(-1),  # x, block above
+            blk(0),  # x
+            blk(1),  # x, block below
+            blk(0),  # ux
+            blk(1),  # ux, block below
+            blk(0),  # uy
+            blk(1),  # uy, block below
+        ],
+        out_specs=(blk(0), blk(0), blk(0)),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_default_interpret(interpret),
+    )(tau_n1, x_top, x_bot, ux_bot, uy_bot, x, x, x, ux, ux, uy, uy)

@@ -49,7 +49,12 @@ from admm_deconv_tpu.ops.fft_mxu import (
     fold_hermitian,
     spectral_scale_folded,
 )
-from admm_deconv_tpu.ops.solver import ADMMDiagnostics, ADMMState
+from admm_deconv_tpu.ops.solver import (
+    _PALLAS_PROX_MODES,
+    ADMMDiagnostics,
+    ADMMState,
+    _make_prox_step,
+)
 
 
 def _roll_p1_h(x, axis_name):
@@ -78,6 +83,22 @@ def _grad2d_tiled(x, axis_name):
 
 def _grad2d_adjoint_tiled(zx, zy, axis_name):
     return (zx - jnp.roll(zx, -1, axis=-1)) + (zy - _roll_m1_h(zy, axis_name))
+
+
+def _halo_exchange(x, ux, uy, axis_name):
+    """Fetch the fused stencil's neighbor-tile rows: the previous tile's last
+    x row and the next tile's first (x, ux, uy) rows — two ``ppermute``s (the
+    three 'below' rows ride one collective)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    x_top = jax.lax.ppermute(x[:, -1:, :], axis_name, fwd)
+    below = jax.lax.ppermute(
+        jnp.concatenate([x[:, :1, :], ux[:, :1, :], uy[:, :1, :]], axis=1),
+        axis_name,
+        bwd,
+    )
+    return x_top, below[:, 0:1], below[:, 1:2], below[:, 2:3]
 
 
 def _dist_rfft2(q, axis_name, wp):
@@ -172,6 +193,9 @@ def _col_slice(arr, axis_name, wp):
         "adapt_rho",
         "early_stop",
         "fft_mode",
+        "prox_impl",
+        "alpha",
+        "fast",
     ),
 )
 def _tiled_solve(
@@ -193,6 +217,9 @@ def _tiled_solve(
     mu=10.0,
     tau_scale=2.0,
     fft_mode="xla",
+    prox_impl="xla",
+    alpha=1.0,
+    fast=False,
 ):
     n, h, w = y.shape
     t = mesh.shape[axis_name]
@@ -205,7 +232,13 @@ def _tiled_solve(
         psf_to_otf(psf, (h, w)) if has_psf else jnp.ones((h, wf), jnp.complex64)
     )
 
-    prox_fn = prox_lib.resolve(prox)
+    # The standard (diagnostics / early-stop / adaptive) loop keeps the jnp
+    # prox composition even under prox_impl="pallas": the elementwise-only
+    # Pallas prox fusion measured neutral vs XLA's own fusion (round-1
+    # result, see CLAUDE.md), and the vma-checked while_loop can't host a
+    # Pallas call.  "pallas" buys the fused whole-stencil q-carry fast path
+    # below (`fast=True`).
+    prox_step = _make_prox_step(prox, "xla")
     d_ax = data_axis_name
     in_spec = P(d_ax, axis_name, None)
     img_spec = P(d_ax)  # per-image vectors follow the batch sharding
@@ -248,10 +281,7 @@ def _tiled_solve(
             x_b = _dist_irfft2(c_cols0 * b_cols, axis_name, w, wf)
             ce_d, co_d = fold_even_odd(rho_l * c_cols0)
 
-        def x_update(state, rho_c, prec_x=prec):
-            q = _grad2d_adjoint_tiled(
-                state.zx - state.ux, state.zy - state.uy, axis_name
-            )
+        def x_from_q(q, rho_c, prec_x=prec):
             if delta:
                 f = _dist_rfft2_fold(q, axis_name, wp, prec_x)
                 x = x_b + _dist_irfft2_fold(
@@ -282,13 +312,59 @@ def _tiled_solve(
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
             return x
 
+        def x_update(state, rho_c, prec_x=prec):
+            q = _grad2d_adjoint_tiled(
+                state.zx - state.ux, state.zy - state.uy, axis_name
+            )
+            return x_from_q(q, rho_c, prec_x)
+
+        if fast:
+            # q-carry fast loop (the single-chip solver's default execution,
+            # ops/solver.py): carry (q, ux, uy) — z and x never materialize —
+            # and run the whole D -> prox -> dual -> D^T stencil section as
+            # ONE fused Pallas pass per iteration on the locally-extended
+            # tile (neighbor rows via two ppermutes, exchanged ahead of the
+            # kernel instead of the jnp path's per-op rolls; same collective
+            # count as the jnp composition).
+            from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+                fused_admm_stencil_halo,
+            )
+
+            mode = _PALLAS_PROX_MODES[prox]
+            tau_vec = lam / rho  # (nl,) local per-plane threshold
+            q0 = _grad2d_adjoint_tiled(
+                state0.zx - state0.ux, state0.zy - state0.uy, axis_name
+            )
+            ux0, uy0 = state0.ux, state0.uy
+
+            def fast_body(carry, _):
+                q, ux, uy = carry
+                x = x_from_q(q, rho_l)
+                halos = _halo_exchange(x, ux, uy, axis_name)
+                q, ux, uy = fused_admm_stencil_halo(
+                    x, ux, uy, *halos, tau_vec, mode=mode
+                )
+                return (q, ux, uy), None
+
+            carry, _ = jax.lax.scan(
+                fast_body, (q0, ux0, uy0), None, length=iters - 1
+            )
+            final_prec = jax.lax.Precision.HIGH if delta else prec
+            return x_from_q(carry[0], rho_l, final_prec)
+
         def one_iter(state, rho_c, prec_x=prec):
             x = x_update(state, rho_c, prec_x)
             dxx, dxy = _grad2d_tiled(x, axis_name)
+            if alpha != 1.0:
+                # Over-relaxation (Boyd sec. 3.4.3), as in the single-chip
+                # solver: blend D x with the previous z before the z/dual
+                # updates.
+                rxx = alpha * dxx + (1.0 - alpha) * state.zx
+                rxy = alpha * dxy + (1.0 - alpha) * state.zy
+            else:
+                rxx, rxy = dxx, dxy
             tau = lam_l / rho_c
-            zx, zy, ux, uy = prox_lib.prox_dual_step(
-                dxx, dxy, state.ux, state.uy, tau, prox_fn
-            )
+            zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
             return ADMMState(x, zx, zy, ux, uy), dxx, dxy
 
         def residuals(state, z_prev_x, z_prev_y, dxx, dxy, rho_c):
@@ -397,11 +473,20 @@ def _tiled_solve(
         return state.x, r_norm, s_norm, it_img, rho_fin[:, 0, 0], state
 
     state_spec = ADMMState(in_spec, in_spec, in_spec, in_spec, in_spec)
+    out_specs = (
+        in_spec
+        if fast
+        else (in_spec, img_spec, img_spec, img_spec, img_spec, state_spec)
+    )
+    # The fast path's Pallas kernel can't be vma-annotated internally
+    # (check_vma trips on kernel-body slicing in interpret mode); it has no
+    # mixed-initializer while_loop, so the vma discipline buys nothing there.
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(in_spec, rep, rep, img_spec, img_spec, state_spec),
-        out_specs=(in_spec, img_spec, img_spec, img_spec, img_spec, state_spec),
+        out_specs=out_specs,
+        check_vma=not fast,
     )(y, lap_full, otf_full, lam, rho, state0)
 
 
@@ -421,6 +506,8 @@ def tiled_tv_deconvolve(
     axis_name: str = "tile",
     data_axis_name: str | None = None,
     fft_mode: str = "xla",
+    prox_impl: str = "xla",
+    alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_diagnostics: bool = False,
     return_state: bool = False,
@@ -447,6 +534,15 @@ def tiled_tv_deconvolve(
         (x_B hoisted and computed once exactly, loop matmuls at DEFAULT,
         final solve at HIGH; see ``ops/solver.py``).  "fold1" requires a
         fixed rho and is rejected with ``adapt_rho=True``.
+      prox_impl: "xla" (jnp composition) or "pallas".  With "pallas" and a
+        fixed-iteration solve (no ``early_stop``/``adapt_rho``, no
+        diagnostics/state request, ``alpha=1``), the solver runs the q-carry
+        fast loop with the fused one-pass D/prox/dual/D^T stencil on each
+        tile (halo rows exchanged by ppermute) — the distributed analogue of
+        the single-chip fast path; inference-only (no VJP).  Other
+        configurations use the fused elementwise prox+dual kernel inside the
+        standard loop.
+      alpha: over-relaxation factor (Boyd sec. 3.4.3); 1.0 = plain ADMM.
       init_state: warm-start :class:`ADMMState` from a previous
         ``return_state=True`` tiled solve (arrays in the folded
         ``(B*C, H, W)`` layout).
@@ -510,7 +606,30 @@ def tiled_tv_deconvolve(
     else:
         state0 = init_state
 
-    x, r_norm, s_norm, it_img, rho_fin, state = _tiled_solve(
+    # Fast q-carry + fused-stencil eligibility (mirrors the single-chip
+    # solver's fast-path gate, ops/solver.py): fixed iterations, plain ADMM,
+    # a named prox the kernel implements, no diagnostics/state request, and
+    # a usable Pallas row block on the LOCAL tile height.
+    fast = (
+        prox_impl == "pallas"
+        and not early_stop
+        and not adapt_rho
+        and not return_diagnostics
+        and not return_state
+        and alpha == 1.0
+        and iters >= 1
+        and isinstance(prox, str)
+        and prox in _PALLAS_PROX_MODES
+    )
+    if fast:
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import _pick_block_rows
+
+        fast = (
+            _pick_block_rows(h // t, w, jnp.dtype(y_f.dtype).itemsize)
+            is not None
+        )
+
+    result = _tiled_solve(
         y_f,
         psf_arr,
         fold_param(lam),
@@ -527,7 +646,15 @@ def tiled_tv_deconvolve(
         eps_abs=eps_abs,
         eps_rel=eps_rel,
         fft_mode=fft_mode,
+        prox_impl=prox_impl,
+        alpha=alpha,
+        fast=fast,
     )
+    if fast:
+        x = result
+        x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
+        return x.reshape(orig_shape)
+    x, r_norm, s_norm, it_img, rho_fin, state = result
     x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
     out = (x.reshape(orig_shape),)
     if return_diagnostics:

@@ -662,7 +662,12 @@ def tv_deconvolve_adaptive(
     only every k-th iteration (``max_iters`` must divide evenly), cutting the
     per-iteration norm reductions and letting the cached ``c_spec`` serve k
     iterations between rho updates.  ``prox_impl="pallas"`` runs the fused
-    prox+dual kernel with the per-image tau vector.
+    prox+dual kernel with the per-image tau vector — and, with
+    ``check_every > 1``, executes the ``check_every - 2`` iterations between
+    checks as the q-carry fast loop with the fused one-pass stencil kernel
+    (rho is fixed between checks, which is exactly the fast path's regime;
+    the last two iterations of each block run the 5-plane form so the
+    residual check sees the true ``z_prev``/``z`` pair).
 
     Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
     learned-layer path.
@@ -725,13 +730,60 @@ def tv_deconvolve_adaptive(
         zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
         return ADMMState(x, zx, zy, ux, uy), dxx, dxy
 
+    # Fast mid-block eligibility: between residual checks rho is fixed, so
+    # the q-carry + fused-stencil loop (the fixed-iteration solver's default
+    # execution) is exact there.  The last of the check_every - 1 cheap
+    # iterations runs the 5-plane form to rematerialize z (the residual
+    # check needs z_prev).
+    use_fast_mid = (
+        check_every > 1
+        and alpha == 1.0
+        and prox_impl == "pallas"
+        and isinstance(prox, str)
+        and prox in _PALLAS_PROX_MODES
+    )
+    if use_fast_mid:
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            _pick_block_rows,
+            fused_admm_stencil,
+        )
+
+        use_fast_mid = (
+            _pick_block_rows(h, w, jnp.dtype(y_f.dtype).itemsize) is not None
+        )
+        if use_fast_mid:
+            pallas_mode = _PALLAS_PROX_MODES[prox]
+
     def body(carry):
         state, rho_cur, it, _done, _r, _s = carry
         tau = lam0 / rho_cur
         # check_every - 1 cheap iterations: rho (and hence c_spec / tau)
         # stays fixed between checks, so no norms are computed.
-        for _ in range(check_every - 1):
-            state, _, _ = one_iter(state, rho_cur, tau)
+        if use_fast_mid:
+            c_spec_mid = _form_cspec(denom_h, lap, rho_cur, fft_mode)
+            tau_vec = tau[:, 0, 0]
+            q0 = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
+
+            def mid(carry2, _):
+                q, ux, uy = carry2
+                x = _solve_spectral(b_f, c_spec_mid, rho_cur, q, h, w, fft_mode)
+                if x_bounds is not None:
+                    x = jnp.clip(x, x_bounds[0], x_bounds[1])
+                q, ux, uy = fused_admm_stencil(x, ux, uy, tau_vec, mode=pallas_mode)
+                return (q, ux, uy), None
+
+            (q, ux, uy), _ = jax.lax.scan(
+                mid, (q0, state.ux, state.uy), None, length=check_every - 2
+            )
+            x = _solve_spectral(b_f, c_spec_mid, rho_cur, q, h, w, fft_mode)
+            if x_bounds is not None:
+                x = jnp.clip(x, x_bounds[0], x_bounds[1])
+            dxx, dxy = grad2d(x)
+            zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, tau)
+            state = ADMMState(x, zx, zy, ux, uy)
+        else:
+            for _ in range(check_every - 1):
+                state, _, _ = one_iter(state, rho_cur, tau)
         z_prev_x, z_prev_y = state.zx, state.zy
         state, dxx, dxy = one_iter(state, rho_cur, tau)
         zx, zy, ux, uy = state.zx, state.zy, state.ux, state.uy

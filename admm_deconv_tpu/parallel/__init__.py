@@ -8,7 +8,10 @@ difference stencils, and psum'd residual norms for shared rho adaptation.
 """
 
 from admm_deconv_tpu.parallel.mesh import make_mesh, shard_batch, replicate
-from admm_deconv_tpu.parallel.tiling import tiled_tv_deconvolve
+from admm_deconv_tpu.parallel.tiling import (
+    tiled_tv_deconvolve,
+    tiled_tv_deconvolve_anderson,
+)
 from admm_deconv_tpu.parallel import distributed
 
 __all__ = [
@@ -16,5 +19,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "tiled_tv_deconvolve",
+    "tiled_tv_deconvolve_anderson",
     "distributed",
 ]

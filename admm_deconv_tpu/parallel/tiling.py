@@ -181,6 +181,69 @@ def _col_slice(arr, axis_name, wp):
     return jax.lax.dynamic_slice_in_dim(arr, idx * per, per, axis=-1)
 
 
+def _make_x_from_q(
+    y_tile, lap_full, otf_full, rho_l, axis_name, wp, h, w, wf,
+    fft_mode, prec, has_psf, x_bounds,
+):
+    """Per-tile spectral precompute (column-sharded cached spectra; the
+    fold1 delta-form x_B/rho*C hoist uses ``rho_l``) shared by the tiled
+    solvers.  Returns ``x_from_q(q, rho_c, prec_x)`` computing the
+    distributed closed-form x-update from the spatial rhs term ``q``."""
+    folded = fft_mode in ("fold", "fold1", "fold_precise")
+    delta = fft_mode == "fold1"
+    lap_cols = _col_slice(lap_full, axis_name, wp)
+    if not has_psf:
+        denom_h = jnp.ones((), y_tile.dtype)
+        b_cols = _dist_rfft2(y_tile, axis_name, wp)
+    else:
+        otf_cols = _col_slice(otf_full, axis_name, wp)
+        denom_h = jnp.abs(otf_cols) ** 2
+        b_cols = jnp.conj(otf_cols) * _dist_rfft2(y_tile, axis_name, wp)
+    if folded and not delta:
+        b_fold = fold_hermitian(b_cols)
+    if delta:
+        # Delta-form precompute (rho fixed for the whole solve): the
+        # image-scale x_B = irfft2(C * B) once via the exact XLA FFT path,
+        # and the folded rho*C loop multiplier — the distributed analogue of
+        # the single-chip fold1 mode (ops/solver.py).
+        c_cols0 = 1.0 / (denom_h + rho_l * lap_cols)
+        x_b = _dist_irfft2(c_cols0 * b_cols, axis_name, w, wf)
+        ce_d, co_d = fold_even_odd(rho_l * c_cols0)
+
+    def x_from_q(q, rho_c, prec_x=prec):
+        if delta:
+            f = _dist_rfft2_fold(q, axis_name, wp, prec_x)
+            x = x_b + _dist_irfft2_fold(
+                *spectral_scale_folded(f, ce_d, co_d),
+                axis_name, h, w, wf, prec_x,
+            )
+        elif folded:
+            c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+            qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(
+                q, axis_name, wp, prec_x
+            )
+            rhs = (
+                b_fold[0] + rho_c * qa_re,
+                b_fold[1] + rho_c * qa_im,
+                b_fold[2] + rho_c * qb_re,
+                b_fold[3] + rho_c * qb_im,
+            )
+            ce, co = fold_even_odd(c_cols)
+            x = _dist_irfft2_fold(
+                *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec_x
+            )
+        else:
+            c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+            qhat = _dist_rfft2(q, axis_name, wp)
+            xhat = c_cols * (b_cols + rho_c * qhat)
+            x = _dist_irfft2(xhat, axis_name, w, wf)
+        if x_bounds is not None:
+            x = jnp.clip(x, x_bounds[0], x_bounds[1])
+        return x
+
+    return x_from_q
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -256,61 +319,13 @@ def _tiled_solve(
     sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y.dtype))
 
     def tile_fn(y_tile, lap_full, otf_full, lam, rho, state0):
-        # Per-device cached spectra, column-sharded: (H, Wp/T).
-        lap_cols = _col_slice(lap_full, axis_name, wp)
-        if not has_psf:
-            denom_h = jnp.ones((), y.dtype)
-            b_cols = _dist_rfft2(y_tile, axis_name, wp)
-        else:
-            otf_cols = _col_slice(otf_full, axis_name, wp)
-            denom_h = jnp.abs(otf_cols) ** 2
-            b_cols = jnp.conj(otf_cols) * _dist_rfft2(y_tile, axis_name, wp)
-        if folded and not delta:
-            b_fold = fold_hermitian(b_cols)
-
         nl = y_tile.shape[0]  # local batch (n / data-axis size)
         lam_l = lam[:, None, None]
         rho_l = rho[:, None, None]
-
-        if delta:
-            # Delta-form precompute (rho fixed for the whole solve): the
-            # image-scale x_B = irfft2(C * B) once via the exact XLA FFT
-            # path, and the folded rho*C loop multiplier — the distributed
-            # analogue of the single-chip fold1 mode (ops/solver.py).
-            c_cols0 = 1.0 / (denom_h + rho_l * lap_cols)
-            x_b = _dist_irfft2(c_cols0 * b_cols, axis_name, w, wf)
-            ce_d, co_d = fold_even_odd(rho_l * c_cols0)
-
-        def x_from_q(q, rho_c, prec_x=prec):
-            if delta:
-                f = _dist_rfft2_fold(q, axis_name, wp, prec_x)
-                x = x_b + _dist_irfft2_fold(
-                    *spectral_scale_folded(f, ce_d, co_d),
-                    axis_name, h, w, wf, prec_x,
-                )
-            elif folded:
-                c_cols = 1.0 / (denom_h + rho_c * lap_cols)
-                qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(
-                    q, axis_name, wp, prec_x
-                )
-                rhs = (
-                    b_fold[0] + rho_c * qa_re,
-                    b_fold[1] + rho_c * qa_im,
-                    b_fold[2] + rho_c * qb_re,
-                    b_fold[3] + rho_c * qb_im,
-                )
-                ce, co = fold_even_odd(c_cols)
-                x = _dist_irfft2_fold(
-                    *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec_x
-                )
-            else:
-                c_cols = 1.0 / (denom_h + rho_c * lap_cols)
-                qhat = _dist_rfft2(q, axis_name, wp)
-                xhat = c_cols * (b_cols + rho_c * qhat)
-                x = _dist_irfft2(xhat, axis_name, w, wf)
-            if x_bounds is not None:
-                x = jnp.clip(x, x_bounds[0], x_bounds[1])
-            return x
+        x_from_q = _make_x_from_q(
+            y_tile, lap_full, otf_full, rho_l, axis_name, wp, h, w, wf,
+            fft_mode, prec, has_psf, x_bounds,
+        )
 
         def x_update(state, rho_c, prec_x=prec):
             q = _grad2d_adjoint_tiled(
@@ -669,3 +684,324 @@ def tiled_tv_deconvolve(
     if return_state:
         out = out + (state,)
     return out if len(out) > 1 else out[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters",
+        "prox",
+        "x_bounds",
+        "m",
+        "early_stop",
+        "mesh",
+        "axis_name",
+        "data_axis_name",
+        "fft_mode",
+    ),
+)
+def _tiled_anderson_solve(
+    y,
+    psf,
+    lam,
+    rho,
+    iters,
+    prox,
+    x_bounds,
+    m,
+    aa_reg,
+    safeguard_factor,
+    early_stop,
+    eps_abs,
+    eps_rel,
+    mesh,
+    axis_name,
+    data_axis_name,
+    fft_mode,
+):
+    n, h, w = y.shape
+    t = mesh.shape[axis_name]
+    wf = w // 2 + 1
+    wp = -(-wf // t) * t
+    lap_full = laplacian_spectrum((h, w), dtype=y.dtype)
+    has_psf = psf is not None
+    otf_full = (
+        psf_to_otf(psf, (h, w)) if has_psf else jnp.ones((h, wf), jnp.complex64)
+    )
+    prox_fn = prox_lib.resolve(prox)
+    d_ax = data_axis_name
+    in_spec = P(d_ax, axis_name, None)
+    img_spec = P(d_ax)
+    rep = P()
+    delta = fft_mode == "fold1"
+    if fft_mode == "fold1":
+        prec = jax.lax.Precision.DEFAULT
+    elif fft_mode == "fold":
+        prec = jax.lax.Precision.HIGH
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y.dtype))
+
+    def tile_fn(y_tile, lap_full, otf_full, lam, rho):
+        nl, ht = y_tile.shape[0], y_tile.shape[1]
+        lam_l = lam[:, None, None]
+        rho_l = rho[:, None, None]
+        tau = lam_l / rho_l
+        x_from_q = _make_x_from_q(
+            y_tile, lap_full, otf_full, rho_l, axis_name, wp, h, w, wf,
+            fft_mode, prec, has_psf, x_bounds,
+        )
+        d_loc = 4 * ht * w  # per-image LOCAL state size (history is sharded)
+
+        def psum_img(v):
+            return jax.lax.psum(v, axis_name)
+
+        def t_map(s):
+            """One plain distributed ADMM iteration on s = (nl, 4, Ht, W)."""
+            zx, zy, ux, uy = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            q = _grad2d_adjoint_tiled(zx - ux, zy - uy, axis_name)
+            x = x_from_q(q, rho_l)
+            dxx, dxy = _grad2d_tiled(x, axis_name)
+            zx2, zy2, ux2, uy2 = prox_lib.prox_dual_step(
+                dxx, dxy, ux, uy, tau, prox_fn
+            )
+            r = jnp.sqrt(
+                psum_img(
+                    jnp.sum((dxx - zx2) ** 2 + (dxy - zy2) ** 2, axis=(-2, -1))
+                )
+            )
+            return jnp.stack([zx2, zy2, ux2, uy2], axis=1), r
+
+        s0 = jnp.zeros((nl, 4, ht, w), y_tile.dtype)
+        hist0 = jnp.zeros((m + 1, nl, d_loc), y_tile.dtype)
+
+        def aa_core(s, S, F, filled, k_acc, res0):
+            """Windowed type-II extrapolation, distributed: the (m, m) Gram
+            and rhs are psum'd over the tile axis, so every tile solves the
+            SAME per-image mixing problem — consensus gamma — while the
+            histories stay tile-local (the (m+1, N, 4*H*W) memory footprint
+            is divided by the tile count)."""
+            t_s, r_norm = t_map(s)
+            f = (t_s - s).reshape(nl, d_loc)
+            res = jnp.sqrt(psum_img(jnp.sum(f * f, axis=-1)))
+            res0 = jnp.where(res0 < 0, res, res0)
+            S = jnp.concatenate([S[1:], s.reshape(1, nl, d_loc)], axis=0)
+            F = jnp.concatenate([F[1:], f[None]], axis=0)
+            filled = jnp.minimum(filled + 1, m + 1)
+            dS = S[1:] - S[:-1]
+            dF = F[1:] - F[:-1]
+            valid = (
+                jnp.arange(m)[:, None] >= (m + 1 - filled)[None, :]
+            )[:, :, None]
+            dS = jnp.where(valid, dS, 0.0)
+            dF = jnp.where(valid, dF, 0.0)
+            gram = jax.lax.psum(jnp.einsum("knd,lnd->nkl", dF, dF), axis_name)
+            gram = gram + aa_reg * (
+                jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
+            ) * jnp.eye(m, dtype=gram.dtype)
+            rhs = jax.lax.psum(jnp.einsum("knd,nd->nk", dF, f), axis_name)
+            gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
+            s_aa = t_s.reshape(nl, d_loc) - jnp.einsum("knd,nk->nd", dS + dF, gamma)
+            # Per-image decay safeguard on the psum'd (global) residual; the
+            # decision is identical on every tile, as in ops/solver.py.
+            bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)
+            take = (filled >= 2) & (res <= bound)
+            k_acc = jnp.where(take, k_acc + 1.0, k_acc)
+            filled = jnp.where(take, filled, jnp.minimum(filled, 1))
+            s_next = jnp.where(take[:, None], s_aa, t_s.reshape(nl, d_loc))
+            return (
+                s_next.reshape(nl, 4, ht, w),
+                S, F, filled, k_acc, res0, r_norm, res, t_s,
+            )
+
+        res0_init = jnp.full((nl,), -1.0, y_tile.dtype)
+        k_acc_init = jnp.zeros((nl,), y_tile.dtype)
+        rho_v = rho
+
+        if early_stop:
+            def cond(carry):
+                it, done = carry[-2], carry[-1]
+                unfinished = jnp.sum(jnp.logical_not(done).astype(jnp.int32))
+                if d_ax is not None:
+                    unfinished = jax.lax.psum(unfinished, d_ax)
+                return jnp.logical_and(it < iters - 1, unfinished > 0)
+
+            def wbody(carry):
+                s, S, F, filled, k_acc, res0, _r, _res, it, _done = carry
+                s2, S, F, filled, k_acc, res0, r_norm, res, t_s = aa_core(
+                    s, S, F, filled, k_acc, res0
+                )
+                dz = _grad2d_adjoint_tiled(
+                    t_s[:, 0] - s[:, 0], t_s[:, 1] - s[:, 1], axis_name
+                )
+                s_norm = rho_v * jnp.sqrt(
+                    psum_img(jnp.sum(dz * dz, axis=(-2, -1)))
+                )
+                z_norm = jnp.sqrt(
+                    psum_img(
+                        jnp.sum(t_s[:, 0] ** 2 + t_s[:, 1] ** 2, axis=(-2, -1))
+                    )
+                )
+                dual = _grad2d_adjoint_tiled(t_s[:, 2], t_s[:, 3], axis_name)
+                dual_norm = rho_v * jnp.sqrt(
+                    psum_img(jnp.sum(dual * dual, axis=(-2, -1)))
+                )
+                eps_pri = sqrt_dim * eps_abs + eps_rel * z_norm
+                eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
+                done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
+                return (s2, S, F, filled, k_acc, res0, r_norm, res, it + 1, done)
+
+            carry0 = (
+                s0, hist0, hist0, jnp.zeros((nl,), jnp.int32), k_acc_init,
+                res0_init, res0_init, res0_init, jnp.asarray(0),
+                jnp.zeros((nl,), bool),
+            )
+            s, _, _, _, _, _, r_norm, fp_res, it_fin, _ = jax.lax.while_loop(
+                cond, wbody, carry0
+            )
+            iters_run = it_fin + 1
+        else:
+            def body(carry, _):
+                s, S, F, filled, k_acc, res0, _r, _res = carry
+                s2, S, F, filled, k_acc, res0, r_norm, res, _t = aa_core(
+                    s, S, F, filled, k_acc, res0
+                )
+                return (s2, S, F, filled, k_acc, res0, r_norm, res), None
+
+            carry0 = (
+                s0, hist0, hist0, jnp.zeros((nl,), jnp.int32), k_acc_init,
+                res0_init, res0_init, res0_init,
+            )
+            (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
+                body, carry0, None, length=iters - 1
+            )
+            iters_run = jnp.asarray(iters)
+        q_fin = _grad2d_adjoint_tiled(
+            s[:, 0] - s[:, 2], s[:, 1] - s[:, 3], axis_name
+        )
+        final_prec = jax.lax.Precision.HIGH if delta else prec
+        x = x_from_q(q_fin, rho_l, final_prec)
+        it_img = jnp.full((nl,), 1, jnp.int32) * iters_run
+        return x, r_norm, fp_res, it_img
+
+    # check_vma=False: the Anderson consensus values (gamma, take, filled)
+    # are made tile-identical by explicit psums; no mixed-initializer
+    # while_loop state needs the vma discipline.
+    return jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(in_spec, rep, rep, img_spec, img_spec),
+        out_specs=(in_spec, img_spec, img_spec, img_spec),
+        check_vma=False,
+    )(y, lap_full, otf_full, lam, rho)
+
+
+def tiled_tv_deconvolve_anderson(
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None = None,
+    lam=0.1,
+    rho=1.0,
+    iters: int = 100,
+    prox: str | Callable = "aniso",
+    x_bounds: tuple[float, float] | None = None,
+    m: int = 5,
+    aa_reg: float = 1e-10,
+    safeguard_factor: float = 1e6,
+    early_stop: bool = False,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-3,
+    mesh: Mesh | None = None,
+    axis_name: str = "tile",
+    data_axis_name: str | None = None,
+    fft_mode: str = "xla",
+):
+    """Anderson-accelerated ADMM with the image H axis sharded over ``mesh``.
+
+    The distributed twin of :func:`admm_deconv_tpu.ops.solver.
+    tv_deconvolve_anderson` (same type-II windowed extrapolation, per-image
+    mixing, and Zhang-O'Donoghue-Boyd decay safeguard): the fixed-point state
+    and both ``(m+1, N, 4*H*W)`` histories live tile-sharded — dividing
+    Anderson's dominant memory cost by the tile count, which is what makes
+    AA usable on 4K frames — while the per-image Gram/rhs reductions are
+    psum'd over the tile axis so every tile applies identical mixing
+    coefficients and safeguard decisions.
+
+    Same argument semantics as :func:`tiled_tv_deconvolve`; ``rho`` is fixed
+    for the whole solve (any ``fft_mode`` including ``fold1``).
+
+    Returns ``(x, ADMMDiagnostics)`` (``s_norm`` = fixed-point residual).
+    """
+    if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
+        raise ValueError(
+            f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "
+            f"got {fft_mode!r}"
+        )
+    if mesh is None:
+        raise ValueError("tiled_tv_deconvolve_anderson requires a mesh")
+    if m < 1:
+        raise ValueError(f"Anderson window m must be >= 1, got {m}")
+    if iters < 2:
+        raise ValueError("tiled_tv_deconvolve_anderson needs iters >= 2")
+    y = jnp.asarray(y)
+    orig_shape = y.shape
+    if y.ndim == 2:
+        y4 = y[None, :, :, None]
+    elif y.ndim == 3:
+        y4 = y[None]
+    else:
+        y4 = y
+    b, h, w, c = y4.shape
+    t = mesh.shape[axis_name]
+    if h % t != 0:
+        raise ValueError(f"H={h} must divide by tile axis size {t}")
+    if w % 2 != 0:
+        raise ValueError(f"W={w} must be even")
+    n = b * c
+    if data_axis_name is not None:
+        d = mesh.shape[data_axis_name]
+        if n % d != 0:
+            raise ValueError(
+                f"batch*channels={n} must divide by data axis size {d}"
+            )
+    y_f = jnp.transpose(y4, (0, 3, 1, 2)).reshape(n, h, w)
+    psf_arr = None if psf is None else jnp.asarray(psf, y_f.dtype)
+
+    def fold_param(p):
+        p = jnp.asarray(p, y_f.dtype)
+        if p.ndim == 0 or p.size == 1:
+            return jnp.broadcast_to(p.reshape(()), (n,))
+        if p.shape == (b,):
+            return jnp.repeat(p, c)
+        if p.shape == (b, c):
+            return p.reshape(n)
+        raise ValueError(
+            f"parameter shape {p.shape} not broadcastable over batch={b}, channels={c}"
+        )
+
+    x, r_norm, fp_res, it_img = _tiled_anderson_solve(
+        y_f,
+        psf_arr,
+        fold_param(lam),
+        fold_param(rho),
+        iters,
+        prox,
+        x_bounds,
+        m,
+        aa_reg,
+        safeguard_factor,
+        early_stop,
+        eps_abs,
+        eps_rel,
+        mesh,
+        axis_name,
+        data_axis_name,
+        fft_mode,
+    )
+    x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
+    diags = ADMMDiagnostics(
+        r_norm=r_norm,
+        s_norm=fp_res,
+        iterations=jnp.max(it_img),
+        rho=fold_param(rho),
+    )
+    return x.reshape(orig_shape), diags

@@ -18,7 +18,10 @@ from admm_deconv_tpu.ops.solver import (
     ADMMState,
     ADMMDiagnostics,
 )
-from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+from admm_deconv_tpu.ops.composite import (
+    composite_tv_deconvolve,
+    composite_tv_deconvolve_adaptive,
+)
 from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
 from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.metrics import peak_snr, ssim, ssim_loss, gmsd, gmsd_loss
@@ -30,6 +33,7 @@ __all__ = [
     "tv_deconvolve_adaptive",
     "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
+    "composite_tv_deconvolve_adaptive",
     "tv_deconvolve_implicit",
     "ADMMState",
     "ADMMDiagnostics",

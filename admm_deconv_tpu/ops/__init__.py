@@ -12,7 +12,10 @@ from admm_deconv_tpu.ops.solver import (
     tv_deconvolve_adaptive,
     tv_deconvolve_anderson,
 )
-from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+from admm_deconv_tpu.ops.composite import (
+    composite_tv_deconvolve,
+    composite_tv_deconvolve_adaptive,
+)
 from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
 
 __all__ = [
@@ -25,5 +28,6 @@ __all__ = [
     "tv_deconvolve_adaptive",
     "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
+    "composite_tv_deconvolve_adaptive",
     "tv_deconvolve_implicit",
 ]

@@ -172,6 +172,124 @@ def _fwd_kernel_halo(
     _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref)
 
 
+def _fwd_kernel_composite(
+    mode,
+    x_bounds,
+    tau_ref,
+    xp_ref,
+    xc_ref,
+    xn_ref,
+    uxc_ref,
+    uxn_ref,
+    uyc_ref,
+    uyn_ref,
+    u2c_ref,
+    q_ref,
+    uxo_ref,
+    uyo_ref,
+    u2o_ref,
+):
+    """Composite-prior (TV + L1 + box) forward stencil, one VMEM pass.
+
+    The TV split runs exactly as :func:`_fwd_kernel`; the identity split
+    ``z2 = clip(soft(x + u2, tau_l1))`` is elementwise (no halo) and its
+    contribution ``ratio * (z2 - u2')`` folds into the emitted rhs ``q``
+    (see ``ops/composite.py``'s x-update).  SMEM table per plane:
+    ``(tau_tv, tau_l1, ratio = rho2/rho1)``.
+    """
+    i = pl.program_id(0)
+    tau_tv = tau_ref[i, 0]
+    tau_l1 = tau_ref[i, 1]
+    ratio = tau_ref[i, 2]
+    x_ext = jnp.concatenate([xp_ref[0, -1:], xc_ref[0], xn_ref[0, :1]], axis=0)
+    x_lo = x_ext[1:]
+    dxy = x_lo - x_ext[:-1]
+    dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
+    ux_e = jnp.concatenate([uxc_ref[0], uxn_ref[0, :1]], axis=0)
+    uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0)
+    vx = dxx + ux_e
+    vy = dxy + uy_e
+    zx, zy = prox_apply(mode, vx, vy, tau_tv)
+    ux_new = vx - zx
+    uy_new = vy - zy
+    wx = zx - ux_new
+    wy = zy - uy_new
+    wx0 = wx[:-1]
+    q1 = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
+    v2 = x_ext[1:-1] + u2c_ref[0]
+    z2 = jnp.sign(v2) * jnp.maximum(jnp.abs(v2) - tau_l1, 0.0)
+    if x_bounds is not None:
+        z2 = jnp.clip(z2, x_bounds[0], x_bounds[1])
+    u2_new = v2 - z2
+    q_ref[0] = q1 + ratio * (z2 - u2_new)
+    uxo_ref[0] = ux_new[:-1]
+    uyo_ref[0] = uy_new[:-1]
+    u2o_ref[0] = u2_new
+
+
+def fused_admm_stencil_composite(
+    x: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    u2: jnp.ndarray,
+    tau_tv,
+    tau_l1,
+    ratio,
+    x_bounds: tuple[float, float] | None = None,
+    mode: str = "aniso",
+    interpret: bool | None = None,
+):
+    """One-pass composite step: D -> TV prox -> dual, identity-split
+    ``clip(soft(.))`` prox -> dual, and the combined rhs
+    ``q = D^T(z1 - u1') + ratio * (z2 - u2')`` — the composite solver's
+    whole non-FFT section (``ops/composite.py``) in a single VMEM pass.
+
+    ``tau_tv`` / ``tau_l1`` / ``ratio`` are scalars or per-plane ``(N,)``.
+    Forward-only (inference path).  Returns ``(q, ux', uy', u2')``.
+    """
+    if x.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {x.shape}")
+    if mode not in MODES:
+        raise ValueError(f"unknown prox mode {mode!r}; expected one of {MODES}")
+    n, h, w = x.shape
+    bm = _pick_block_rows(h, w, x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no usable row block for H={h}, W={w}")
+    taus = []
+    for name, t in (("tau_tv", tau_tv), ("tau_l1", tau_l1), ("ratio", ratio)):
+        tc = _tau_plane_vector(t, n, x.dtype)
+        if tc is None:
+            raise ValueError(
+                f"{name} shape {jnp.shape(t)} not scalar or per-plane ({n},)"
+            )
+        taus.append(jnp.broadcast_to(jnp.reshape(tc, (-1, 1)), (n, 1)))
+    tau_n3 = jnp.concatenate(taus, axis=1)
+    g = h // bm
+    grid = (n, g)
+    blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_composite, mode, x_bounds),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(-1),  # x, block above
+            blk(0),  # x
+            blk(1),  # x, block below
+            blk(0),  # ux
+            blk(1),  # ux, block below
+            blk(0),  # uy
+            blk(1),  # uy, block below
+            blk(0),  # u2
+        ],
+        out_specs=(blk(0), blk(0), blk(0), blk(0)),
+        out_shape=(out_shape, out_shape, out_shape, out_shape),
+        interpret=_default_interpret(interpret),
+    )(tau_n3, x, x, x, ux, ux, uy, uy, u2)
+
+
 def _bwd_kernel(
     mode,
     tau_ref,

@@ -70,18 +70,29 @@ class TestBaselineConfigs:
         assert np.all(np.isfinite(np.asarray(diag.rho)))
 
     def test_config3_batched_sharded_poisson_gaussian(self, rng):
-        """Batched frames sharded across chips, Poisson-Gaussian noise."""
+        """Batched frames sharded across chips, Poisson-Gaussian noise,
+        solved with the config's stated L1+TV composite prior (round-3 fix:
+        this used to run plain TV)."""
+        from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+
         mesh = make_mesh({"data": 8})
         clean = np.stack([_scene(rng, 64, 64, 3) for _ in range(8)])
         noisy = np.stack([add_poisson_gaussian(im, rng, peak=100.0, sigma=10.0) for im in clean])
         y = shard_batch(jnp.asarray(noisy), mesh)
-        x = tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=30)
-        x = jnp.clip(x, 0, 1)
+        x = composite_tv_deconvolve(
+            y, None, lam_tv=0.05, lam_l1=0.002, rho1=0.5, rho2=0.5,
+            iters=30, x_bounds=(0.0, 1.0),
+        )
         assert float(peak_snr(x, jnp.asarray(clean))) > float(
             peak_snr(jnp.asarray(noisy), jnp.asarray(clean))
         )
-        # Output stays batch-sharded (GSPMD propagates the input sharding).
+        # Output stays batch-sharded (GSPMD propagates the input sharding)
+        # and feasible (box enforced through the z2 prox, no post-clip).
         assert x.sharding.spec[0] == "data"
+        assert float(jnp.min(x)) >= 0.0 and float(jnp.max(x)) <= 1.0
+        # The plain-TV data-parallel path stays covered too.
+        x_tv = jnp.clip(tv_deconvolve(y, None, lam=0.05, rho=0.5, iters=30), 0, 1)
+        assert x_tv.sharding.spec[0] == "data"
 
     def test_config4_unrolled_learned_layer(self, rng):
         """10-iteration differentiable layer with learned rho/lam/kernel."""

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import csv
 import os
+import re
 import time
 from functools import partial
 from typing import Any, Callable
@@ -274,17 +275,40 @@ class Trainer:
                     shutil.rmtree(os.path.join(best_root, prev), ignore_errors=True)
         return path
 
+    @staticmethod
+    def _parse_best_name(name: str) -> tuple[float, int] | None:
+        """Extract (vloss, epoch) from a metric-encoding checkpoint name."""
+        m = re.search(r"-ep_(\d+)-vloss_([0-9.natinf+-]+?)-psnr_", name)
+        if m is None:
+            return None
+        try:
+            return float(m.group(2)), int(m.group(1))
+        except ValueError:
+            return None
+
     def restore_best(self, model_dir: str, template: TrainState) -> TrainState | None:
         """Load the metric-named best checkpoint (the loading path the
-        reference lacks entirely, SURVEY.md §5.4); None if absent."""
+        reference lacks entirely, SURVEY.md §5.4); None if absent.
+
+        ``save_best`` deletes the previous best, but a crash between save
+        and cleanup can leave several entries — so the choice is by the
+        LOWEST encoded validation loss (newest epoch as tiebreak), not
+        directory order.
+        """
         best_root = os.path.abspath(os.path.join(model_dir, "best"))
         if not _HAS_ORBAX or not os.path.isdir(best_root):
             return None
         entries = sorted(os.listdir(best_root))
         if not entries:
             return None
+        parsed = [(self._parse_best_name(e), e) for e in entries]
+        scored = [
+            (vloss, -ep, e) for (p, e) in parsed if p is not None
+            for (vloss, ep) in [p]
+        ]
+        best = min(scored)[2] if scored else entries[-1]
         return ocp.StandardCheckpointer().restore(
-            os.path.join(best_root, entries[-1]), template
+            os.path.join(best_root, best), template
         )
 
     def restore_latest(self, model_dir: str, template: TrainState) -> tuple[TrainState, int]:
@@ -329,8 +353,33 @@ class Trainer:
             if start_epoch:
                 log_fn(f"resumed from epoch {start_epoch}")
 
+        # A resumed run continues the pre-crash history and best-checkpoint
+        # bar instead of clobbering them (the reference kept full history
+        # across epochs, ``src/train.jl:142-148,167-169``): completed rows
+        # are reloaded from the CSV — every process reads it (shared
+        # filesystem, as Orbax multi-host already requires) so best/plateau
+        # decisions stay consistent — and best_val_loss resumes from the
+        # lowest recorded eval loss, so a worse post-resume epoch cannot
+        # displace the pre-crash best checkpoint.
         best_val_loss = float("inf")
         history: list[dict[str, float]] = []
+        if resume and start_epoch and os.path.exists(history_path):
+            with open(history_path, newline="") as f:
+                rows = list(csv.DictReader(f))
+            history = [
+                {k: float(v) for k, v in r.items()}
+                for r in rows
+                if r.get("epoch") and int(float(r["epoch"])) < start_epoch
+            ]
+            losses = [h["eval_loss"] for h in history if "eval_loss" in h]
+            if losses:
+                best_val_loss = min(losses)
+                # The plateau tracker is deterministic in the loss sequence:
+                # replaying the recorded epochs restores its patience counter
+                # and reduced LR exactly (it would otherwise restart at the
+                # config LR and overwrite the checkpoint's restored LR).
+                for loss_v in losses:
+                    self.plateau.step(loss_v)
 
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -369,12 +418,19 @@ class Trainer:
                 "lr": new_lr,
                 "seconds": time.time() - t0,
             }
+            first_row = not history
             history.append(row)
             if self.is_lead:
-                with open(history_path, "w", newline="") as f:
+                # Rewrite once on the first row of this run (prunes any
+                # partial post-crash rows after a resume), then append.
+                mode = "w" if first_row or epoch == start_epoch else "a"
+                with open(history_path, mode, newline="") as f:
                     writer = csv.DictWriter(f, fieldnames=list(history[0].keys()))
-                    writer.writeheader()
-                    writer.writerows(history)
+                    if mode == "w":
+                        writer.writeheader()
+                        writer.writerows(history)
+                    else:
+                        writer.writerow(row)
 
             if tb is not None:
                 tb.log_scalars(train_metrics, epoch, prefix="train/")

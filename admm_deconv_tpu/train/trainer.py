@@ -240,10 +240,15 @@ class Trainer:
         )
 
     def save_checkpoint(self, manager, state: TrainState, epoch: int) -> None:
+        """Asynchronous epoch checkpoint (SURVEY §5.3): Orbax stages the
+        (replicated) state and commits in a background thread — in
+        multi-host runs all processes coordinate through the
+        ``jax.distributed`` client — so training continues immediately.
+        ``fit`` calls ``manager.wait_until_finished()`` once at the end; an
+        overlapping next save waits for the previous one inside Orbax."""
         if manager is None:
             return
         manager.save(epoch, args=ocp.args.StandardSave(state))
-        manager.wait_until_finished()
 
     def save_best(
         self, model_dir: str, state: TrainState, epoch: int,
@@ -456,4 +461,6 @@ class Trainer:
 
         if tb is not None:
             tb.close()
+        if manager is not None:
+            manager.wait_until_finished()  # drain async epoch saves
         return state

@@ -128,3 +128,10 @@ class TestTwoProcess:
             (tmp_path / f"checksum_{i}.txt").read_text() for i in range(2)
         ]
         assert sums[0] == sums[1], sums
+        # Multi-process async Orbax checkpointing: both processes restored
+        # the coordinated checkpoint to the exact final params.
+        restored = [
+            (tmp_path / f"restored_{i}.txt").read_text() for i in range(2)
+        ]
+        assert restored[0] == restored[1] == sums[0], (restored, sums)
+        assert (tmp_path / "run" / "checkpoints").is_dir()

@@ -59,11 +59,15 @@ class ADMMDeconv(nn.Module):
       trainable: subset of {"weight", "bias", "lam", "rho"} receiving
         gradients; the rest are stop-gradient'ed (frozen).
       remat: rematerialize the unrolled loop under autodiff.
-      fft_mode: x-update FFT backend ("xla" | "mxu" | "mxu_precise" |
-        "fold" | "fold_precise"); "fold" is the fastest TPU mode.
-      prox_impl: "xla" (jnp stencil composition) or "pallas" — the fused
-        one-pass D->prox->dual->D^T TPU kernel, differentiable via its
-        custom-VJP backward kernel (``ops/pallas/stencil_kernels.py``).
+      fft_mode: x-update FFT backend ("auto" | "xla" | "mxu" |
+        "mxu_precise" | "fold" | "fold1" | "fold_precise" | "pack" |
+        "pack_precise"); "fold1" (the delta-form bf16x1 DFT) is the fastest
+        TPU mode and "auto" (default) selects it there — and plain "xla"
+        on CPU (``ops.solver.resolve_fft_mode``).
+      prox_impl: "auto" (default: fused Pallas on TPU, jnp on CPU), "xla"
+        (jnp stencil composition) or "pallas" — the fused one-pass
+        D->prox->dual->D^T TPU kernel, differentiable via its custom-VJP
+        backward kernel (``ops/pallas/stencil_kernels.py``).
       diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
         (exact gradient of the truncated solver; required for trainable rho);
         "implicit" differentiates the converged fixed point with the
@@ -82,8 +86,8 @@ class ADMMDeconv(nn.Module):
     rho_init: float | None = None
     trainable: Sequence[str] = ("weight", "bias", "lam", "rho")
     remat: bool = False
-    fft_mode: str = "xla"
-    prox_impl: str = "xla"
+    fft_mode: str = "auto"
+    prox_impl: str = "auto"
     diff_mode: str = "unroll"
     bwd_iters: int = 30
 
@@ -177,8 +181,8 @@ def ADMMDeconvF1(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
 ) -> ADMMDeconv:
     """Fixed lam; trainable weight/bias/rho (reference ``deconv_admm.jl:31-55``)."""
     if lam <= 0:
@@ -209,8 +213,8 @@ def ADMMDeconvF2(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
 ) -> ADMMDeconv:
     """Fixed rho; trainable weight/bias/lam (reference ``deconv_admm.jl:83-107``)."""
     if rho <= 0:
@@ -242,8 +246,8 @@ def ADMMDeconvF3(
     use_bias: bool = False,
     creg: float = 0.0,
     remat: bool = False,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
 ) -> ADMMDeconv:
     """Fixed lam and rho; trainable weight/bias only (``deconv_admm.jl:135-161``)."""
     if lam <= 0:

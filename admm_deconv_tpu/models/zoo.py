@@ -92,8 +92,8 @@ class DenoiserBank(nn.Module):
     iso: bool = True
     iters: int = 50
     fused: bool = True
-    fft_mode: str = "xla"
-    prox_impl: str = "xla"
+    fft_mode: str = "auto"
+    prox_impl: str = "auto"
 
     RHOS = (0.002, 0.02, 0.2, 2.0, 4.0)
 
@@ -153,8 +153,8 @@ class AdmmDenoiser(nn.Module):
 
     iso: bool = True
     denoiser_iters: int = 50
-    fft_mode: str = "xla"
-    prox_impl: str = "xla"
+    fft_mode: str = "auto"
+    prox_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -187,8 +187,8 @@ class MultistageUpDownscale(nn.Module):
     """
 
     iso: bool = True
-    fft_mode: str = "xla"
-    prox_impl: str = "xla"
+    fft_mode: str = "auto"
+    prox_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -220,8 +220,8 @@ class DeconvBank(nn.Module):
 
     iso: bool = False
     iters: int = 50
-    fft_mode: str = "xla"
-    prox_impl: str = "xla"
+    fft_mode: str = "auto"
+    prox_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -245,8 +245,8 @@ def build_model(name: str, cfg: dict | None = None) -> nn.Module:
     trainers; ``use_iso`` is the knob consumed from ``train_cfg.json``)."""
     cfg = cfg or {}
     iso = bool(cfg.get("use_iso", True))
-    fft_mode = str(cfg.get("fft_mode", "xla"))
-    prox_impl = str(cfg.get("prox_impl", "xla"))
+    fft_mode = str(cfg.get("fft_mode", "auto"))
+    prox_impl = str(cfg.get("prox_impl", "auto"))
     models = {
         "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
         "autoencoder": lambda: Autoencoder(),

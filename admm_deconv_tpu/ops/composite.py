@@ -36,6 +36,8 @@ from admm_deconv_tpu.ops.solver import (
     _solve_spectral,
     _tau_for_pallas,
     _unfold,
+    resolve_fft_mode,
+    resolve_prox_impl,
 )
 
 
@@ -55,9 +57,9 @@ def composite_tv_deconvolve(
     iters: int = 100,
     prox: str | Callable = "aniso",
     x_bounds: tuple[float, float] | None = None,
-    fft_mode: str = "xla",
+    fft_mode: str = "auto",
     remat: bool = False,
-    prox_impl: str = "xla",
+    prox_impl: str = "auto",
 ):
     """ADMM with a TV + L1 + box composite prior (differentiable).
 
@@ -77,6 +79,8 @@ def composite_tv_deconvolve(
 
     Returns the restored image(s) (the feasible ``z2`` iterate).
     """
+    fft_mode = resolve_fft_mode(fft_mode)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     tv_prox = prox_lib.resolve(prox)
@@ -223,7 +227,7 @@ def composite_tv_deconvolve_adaptive(
     adapt_rho: bool = True,
     mu: float = 10.0,
     tau_scale: float = 2.0,
-    fft_mode: str = "xla",
+    fft_mode: str = "auto",
 ):
     """Composite-prior ADMM with residual balancing and early stopping.
 
@@ -243,6 +247,7 @@ def composite_tv_deconvolve_adaptive(
     final residual norms, iteration count, and per-image final ``rho1``
     (``rho2 = rho1 * rho2_0/rho1_0``).
     """
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     if fft_mode == "fold1":

@@ -57,7 +57,9 @@ from admm_deconv_tpu.ops.solver import (
     _form_cspec,
     _normalize_input,
     _prepare,
+    _prepare_delta,
     _solve_spectral,
+    resolve_fft_mode,
     tv_deconvolve,
 )
 
@@ -73,7 +75,12 @@ def _step(s, y, psf, lam, rho, prox_name, fft_mode, x_bounds):
         y, psf, lam, rho, fft_mode
     )
     tau = lam_f / rho_f
-    c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
+    if fft_mode == "fold1":
+        # fold1's _solve_spectral consumes the delta-form precompute
+        # (x_B + folded rho*C), not the plain c_spec.
+        b_f, c_spec = _prepare_delta(b_f, denom_h, lap, rho_f, h, w)
+    else:
+        c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
     q = grad2d_adjoint(zx - ux, zy - uy)
     x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
     if x_bounds is not None:
@@ -169,7 +176,7 @@ def tv_deconvolve_implicit(
     iters: int = 100,
     prox: str = "aniso",
     bwd_iters: int = 30,
-    fft_mode: str = "xla",
+    fft_mode: str = "auto",
     x_bounds: tuple[float, float] | None = None,
 ):
     """ADMM TV deconvolution with implicit (fixed-point) differentiation.
@@ -180,8 +187,12 @@ def tv_deconvolve_implicit(
     the unrolled loop.  Use when ``iters`` is large (memory) or when
     forward and backward depth should be decoupled.
 
+    ``fft_mode="auto"`` (default) picks the fastest mode for the backend
+    (fold1 on TPU, xla on CPU — see ``resolve_fft_mode``).
+
     Differentiable in ``y``, ``psf``, ``lam`` and ``rho``.
     """
+    fft_mode = resolve_fft_mode(fft_mode)
     y = jnp.asarray(y)
     lam = jnp.asarray(lam, y.dtype)
     rho = jnp.asarray(rho, y.dtype)

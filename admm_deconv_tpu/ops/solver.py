@@ -416,8 +416,8 @@ def tv_deconvolve(
     x_bounds: tuple[float, float] | None = None,
     return_diagnostics: bool = False,
     remat: bool = False,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_state: bool = False,
@@ -447,10 +447,17 @@ def tv_deconvolve(
       return_state: also return the final :class:`ADMMState` for warm
         restarts.
 
+    ``fft_mode``/``prox_impl`` default to ``"auto"``: the fastest
+    measured configuration for the current backend (fold1 delta-form DFT +
+    fused Pallas stencil on TPU; native XLA FFT + jnp prox on CPU) — see
+    :func:`resolve_fft_mode` / :func:`resolve_prox_impl`.
+
     Returns:
       Restored image(s) with the input's shape; with flags set, a tuple
       ``(x[, diagnostics][, state])`` in that order.
     """
+    fft_mode = resolve_fft_mode(fft_mode)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     y = jnp.asarray(y)
@@ -644,8 +651,8 @@ def tv_deconvolve_adaptive(
     mu: float = 10.0,
     tau_scale: float = 2.0,
     check_every: int = 1,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_state: bool = False,
@@ -675,6 +682,8 @@ def tv_deconvolve_adaptive(
     Returns ``(x, ADMMDiagnostics)`` where the diagnostics carry the TRUE
     final primal and dual residual norms from the last convergence check.
     """
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     if fft_mode == "fold1":
@@ -860,8 +869,8 @@ def tv_deconvolve_anderson(
     early_stop: bool = False,
     eps_abs: float = 1e-4,
     eps_rel: float = 1e-3,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
 ):
     """ADMM with type-II Anderson acceleration of the (z, u) fixed point.
 
@@ -895,6 +904,8 @@ def tv_deconvolve_anderson(
     Returns ``(x, ADMMDiagnostics)`` (``s_norm`` reports the fixed-point
     residual norm ``||T(s)-s||``; ``r_norm`` the primal residual).
     """
+    fft_mode = resolve_fft_mode(fft_mode)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     if m < 1:

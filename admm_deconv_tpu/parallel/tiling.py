@@ -54,6 +54,8 @@ from admm_deconv_tpu.ops.solver import (
     ADMMDiagnostics,
     ADMMState,
     _make_prox_step,
+    resolve_fft_mode,
+    resolve_prox_impl,
 )
 
 
@@ -520,8 +522,8 @@ def tiled_tv_deconvolve(
     mesh: Mesh | None = None,
     axis_name: str = "tile",
     data_axis_name: str | None = None,
-    fft_mode: str = "xla",
-    prox_impl: str = "xla",
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_diagnostics: bool = False,
@@ -567,6 +569,8 @@ def tiled_tv_deconvolve(
     Returns ``x`` (same shape as input, H-sharded), optionally followed by
     diagnostics and/or state.
     """
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=adapt_rho)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
         raise ValueError(
             f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "
@@ -913,7 +917,7 @@ def tiled_tv_deconvolve_anderson(
     mesh: Mesh | None = None,
     axis_name: str = "tile",
     data_axis_name: str | None = None,
-    fft_mode: str = "xla",
+    fft_mode: str = "auto",
 ):
     """Anderson-accelerated ADMM with the image H axis sharded over ``mesh``.
 
@@ -931,6 +935,7 @@ def tiled_tv_deconvolve_anderson(
 
     Returns ``(x, ADMMDiagnostics)`` (``s_norm`` = fixed-point residual).
     """
+    fft_mode = resolve_fft_mode(fft_mode)
     if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
         raise ValueError(
             f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "

@@ -45,8 +45,11 @@ class TrainConfig:
     checkpoint_every: int = 1
     keep_checkpoints: int = 3
     checkpointing: bool = True  # False: skip Orbax writes (dry runs/tests)
-    fft_mode: str = "xla"  # solver x-update backend; "fold" = fastest on TPU
-    prox_impl: str = "xla"  # "pallas" = fused stencil kernel (fast TPU path)
+    # Solver x-update backend; "auto" resolves per backend (fold1 = the
+    # delta-form bf16x1 DFT, the fastest TPU mode; xla on CPU).
+    fft_mode: str = "auto"
+    # "auto" = fused one-pass stencil kernel on TPU, jnp composition on CPU.
+    prox_impl: str = "auto"
 
     def __post_init__(self):
         if self.batch_size < 1:

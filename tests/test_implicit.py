@@ -123,3 +123,26 @@ def test_layer_implicit_mode(problem):
         for k, v in jax.tree_util.tree_flatten_with_path(grads)[0]
     }
     assert any("weight" in k and float(jnp.max(jnp.abs(v))) > 0 for k, v in flat.items())
+
+
+class TestImplicitFold1:
+    def test_fold1_backward_matches_xla(self, rng):
+        """Round-3 regression: the implicit backward's _step must build the
+        fold1 DELTA-form precompute (x_B + folded rho*C) — the plain c_spec
+        silently mis-solved before.  fp32 on CPU -> gradients must agree."""
+        from admm_deconv_tpu.ops.implicit import tv_deconvolve_implicit
+
+        img = np.clip(
+            rng.random((16, 16)).astype(np.float32) * 0.5 + 0.2, 0, 1
+        )
+        y = jnp.asarray(img)
+
+        def loss(lam, mode):
+            x = tv_deconvolve_implicit(
+                y, None, lam=lam, rho=0.5, iters=40, fft_mode=mode
+            )
+            return jnp.sum(x * x)
+
+        g_xla = jax.grad(lambda l: loss(l, "xla"))(0.05)
+        g_f1 = jax.grad(lambda l: loss(l, "fold1"))(0.05)
+        np.testing.assert_allclose(float(g_f1), float(g_xla), rtol=1e-4)

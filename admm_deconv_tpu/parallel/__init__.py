@@ -9,6 +9,7 @@ difference stencils, and psum'd residual norms for shared rho adaptation.
 
 from admm_deconv_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from admm_deconv_tpu.parallel.tiling import (
+    tiled_composite_tv_deconvolve,
     tiled_tv_deconvolve,
     tiled_tv_deconvolve_anderson,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
+    "tiled_composite_tv_deconvolve",
     "tiled_tv_deconvolve",
     "tiled_tv_deconvolve_anderson",
     "distributed",

@@ -185,12 +185,18 @@ def _col_slice(arr, axis_name, wp):
 
 def _make_x_from_q(
     y_tile, lap_full, otf_full, rho_l, axis_name, wp, h, w, wf,
-    fft_mode, prec, has_psf, x_bounds,
+    fft_mode, prec, has_psf, x_bounds, rho2_l=0.0,
 ):
     """Per-tile spectral precompute (column-sharded cached spectra; the
     fold1 delta-form x_B/rho*C hoist uses ``rho_l``) shared by the tiled
     solvers.  Returns ``x_from_q(q, rho_c, prec_x)`` computing the
-    distributed closed-form x-update from the spatial rhs term ``q``."""
+    distributed closed-form x-update from the spatial rhs term ``q``.
+
+    ``rho2_l`` adds the composite solver's identity-split penalty to the
+    denominator (``|Sigma|^2 + rho1 |Lambda|^2 + rho2`` — ops/composite.py);
+    0 recovers the pure-TV solve.  ``x_bounds`` clips the returned x (the
+    pure-TV solvers' box projection); composite callers pass None here (the
+    box rides the z2 prox instead)."""
     folded = fft_mode in ("fold", "fold1", "fold_precise")
     delta = fft_mode == "fold1"
     lap_cols = _col_slice(lap_full, axis_name, wp)
@@ -208,7 +214,7 @@ def _make_x_from_q(
         # image-scale x_B = irfft2(C * B) once via the exact XLA FFT path,
         # and the folded rho*C loop multiplier — the distributed analogue of
         # the single-chip fold1 mode (ops/solver.py).
-        c_cols0 = 1.0 / (denom_h + rho_l * lap_cols)
+        c_cols0 = 1.0 / (denom_h + rho_l * lap_cols + rho2_l)
         x_b = _dist_irfft2(c_cols0 * b_cols, axis_name, w, wf)
         ce_d, co_d = fold_even_odd(rho_l * c_cols0)
 
@@ -220,7 +226,7 @@ def _make_x_from_q(
                 axis_name, h, w, wf, prec_x,
             )
         elif folded:
-            c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+            c_cols = 1.0 / (denom_h + rho_c * lap_cols + rho2_l)
             qa_re, qa_im, qb_re, qb_im = _dist_rfft2_fold(
                 q, axis_name, wp, prec_x
             )
@@ -235,7 +241,7 @@ def _make_x_from_q(
                 *spectral_scale_folded(rhs, ce, co), axis_name, h, w, wf, prec_x
             )
         else:
-            c_cols = 1.0 / (denom_h + rho_c * lap_cols)
+            c_cols = 1.0 / (denom_h + rho_c * lap_cols + rho2_l)
             qhat = _dist_rfft2(q, axis_name, wp)
             xhat = c_cols * (b_cols + rho_c * qhat)
             x = _dist_irfft2(xhat, axis_name, w, wf)
@@ -1010,3 +1016,233 @@ def tiled_tv_deconvolve_anderson(
         rho=fold_param(rho),
     )
     return x.reshape(orig_shape), diags
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters",
+        "prox",
+        "x_bounds",
+        "mesh",
+        "axis_name",
+        "data_axis_name",
+        "fft_mode",
+        "prox_impl",
+    ),
+)
+def _tiled_composite_solve(
+    y,
+    psf,
+    lam_tv,
+    lam_l1,
+    rho1,
+    rho2,
+    iters,
+    prox,
+    x_bounds,
+    mesh,
+    axis_name,
+    data_axis_name,
+    fft_mode,
+    prox_impl,
+):
+    n, h, w = y.shape
+    t = mesh.shape[axis_name]
+    wf = w // 2 + 1
+    wp = -(-wf // t) * t
+    lap_full = laplacian_spectrum((h, w), dtype=y.dtype)
+    has_psf = psf is not None
+    otf_full = (
+        psf_to_otf(psf, (h, w)) if has_psf else jnp.ones((h, wf), jnp.complex64)
+    )
+    prox_fn = prox_lib.resolve(prox)
+    d_ax = data_axis_name
+    in_spec = P(d_ax, axis_name, None)
+    img_spec = P(d_ax)
+    rep = P()
+    delta = fft_mode == "fold1"
+    if fft_mode == "fold1":
+        prec = jax.lax.Precision.DEFAULT
+    elif fft_mode == "fold":
+        prec = jax.lax.Precision.HIGH
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    use_kernel = prox_impl == "pallas"
+    lo, hi = (None, None) if x_bounds is None else x_bounds
+
+    def tile_fn(y_tile, lap_full, otf_full, lam_tv, lam_l1, rho1, rho2):
+        nl, ht = y_tile.shape[0], y_tile.shape[1]
+        rho1_l = rho1[:, None, None]
+        rho2_l = rho2[:, None, None]
+        tau_tv = (lam_tv / rho1)[:, None, None]
+        tau_l1 = (lam_l1 / rho2)[:, None, None]
+        ratio = rho2_l / rho1_l
+        # The box constraint rides the z2 prox (exact), not the x-update.
+        x_from_q = _make_x_from_q(
+            y_tile, lap_full, otf_full, rho1_l, axis_name, wp, h, w, wf,
+            fft_mode, prec, has_psf, None, rho2_l=rho2_l,
+        )
+
+        def z2_step(x, u2):
+            v2 = x + u2
+            z2 = jnp.sign(v2) * jnp.maximum(jnp.abs(v2) - tau_l1, 0.0)
+            if x_bounds is not None:
+                z2 = jnp.clip(z2, lo, hi)
+            return z2, v2 - z2
+
+        if use_kernel:
+            from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+                fused_admm_stencil_halo,
+            )
+
+            mode = _PALLAS_PROX_MODES[prox]
+            tau_vec = lam_tv / rho1  # (nl,)
+
+            def tv_section(x, u1x, u1y):
+                halos = _halo_exchange(x, u1x, u1y, axis_name)
+                return fused_admm_stencil_halo(
+                    x, u1x, u1y, *halos, tau_vec, mode=mode
+                )
+        else:
+            def tv_section(x, u1x, u1y):
+                dxx, dxy = _grad2d_tiled(x, axis_name)
+                z1x, z1y, u1x, u1y = prox_lib.prox_dual_step(
+                    dxx, dxy, u1x, u1y, tau_tv, prox_fn
+                )
+                q_tv = _grad2d_adjoint_tiled(
+                    z1x - u1x, z1y - u1y, axis_name
+                )
+                return q_tv, u1x, u1y
+
+        zeros = jnp.zeros((nl, ht, w), y_tile.dtype)
+
+        def body(carry, _):
+            q, u1x, u1y, u2 = carry
+            x = x_from_q(q, rho1_l)
+            q_tv, u1x, u1y = tv_section(x, u1x, u1y)
+            z2, u2 = z2_step(x, u2)
+            q = q_tv + ratio * (z2 - u2)
+            return (q, u1x, u1y, u2), None
+
+        (q, _, _, u2), _ = jax.lax.scan(
+            body, (zeros, zeros, zeros, zeros), None, length=iters - 1
+        )
+        final_prec = jax.lax.Precision.HIGH if delta else prec
+        x = x_from_q(q, rho1_l, final_prec)
+        z2, _ = z2_step(x, u2)
+        return z2
+
+    return jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(in_spec, rep, rep, img_spec, img_spec, img_spec, img_spec),
+        out_specs=in_spec,
+        check_vma=False,
+    )(y, lap_full, otf_full, lam_tv, lam_l1, rho1, rho2)
+
+
+def tiled_composite_tv_deconvolve(
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None = None,
+    lam_tv=0.01,
+    lam_l1=0.0,
+    rho1=0.1,
+    rho2=0.1,
+    iters: int = 100,
+    prox: str | Callable = "aniso",
+    x_bounds: tuple[float, float] | None = None,
+    mesh: Mesh | None = None,
+    axis_name: str = "tile",
+    data_axis_name: str | None = None,
+    fft_mode: str = "auto",
+    prox_impl: str = "auto",
+):
+    """Composite-prior (TV + L1 + box) ADMM with the H axis tile-sharded.
+
+    The distributed twin of :func:`admm_deconv_tpu.ops.composite.
+    composite_tv_deconvolve` in q-carry form: the TV split runs the fused
+    halo-stencil kernel (``prox_impl="pallas"``) or the jnp tiled stencils,
+    the identity split (``clip(soft(x + u2))``) is elementwise and needs no
+    halo, and the x-update's denominator carries the extra ``rho2`` term
+    through the distributed transform.  Same argument semantics as
+    :func:`tiled_tv_deconvolve`; penalties are fixed for the whole solve.
+
+    Returns the feasible ``z2`` iterate (H-sharded, input shape).
+    """
+    from admm_deconv_tpu.ops.solver import _PALLAS_PROX_MODES as _MODES
+
+    fft_mode = resolve_fft_mode(fft_mode)
+    prox_impl = resolve_prox_impl(prox_impl)
+    if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
+        raise ValueError(
+            f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "
+            f"got {fft_mode!r}"
+        )
+    if mesh is None:
+        raise ValueError("tiled_composite_tv_deconvolve requires a mesh")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    y = jnp.asarray(y)
+    orig_shape = y.shape
+    if y.ndim == 2:
+        y4 = y[None, :, :, None]
+    elif y.ndim == 3:
+        y4 = y[None]
+    else:
+        y4 = y
+    b, h, w, c = y4.shape
+    t = mesh.shape[axis_name]
+    if h % t != 0:
+        raise ValueError(f"H={h} must divide by tile axis size {t}")
+    if w % 2 != 0:
+        raise ValueError(f"W={w} must be even")
+    n = b * c
+    if data_axis_name is not None:
+        d = mesh.shape[data_axis_name]
+        if n % d != 0:
+            raise ValueError(
+                f"batch*channels={n} must divide by data axis size {d}"
+            )
+    if prox_impl == "pallas":
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import _pick_block_rows
+
+        if (
+            not isinstance(prox, str)
+            or prox not in _MODES
+            or _pick_block_rows(h // t, w, 4) is None
+        ):
+            prox_impl = "xla"
+    y_f = jnp.transpose(y4, (0, 3, 1, 2)).reshape(n, h, w)
+    psf_arr = None if psf is None else jnp.asarray(psf, y_f.dtype)
+
+    def fold_param(p):
+        p = jnp.asarray(p, y_f.dtype)
+        if p.ndim == 0 or p.size == 1:
+            return jnp.broadcast_to(p.reshape(()), (n,))
+        if p.shape == (b,):
+            return jnp.repeat(p, c)
+        if p.shape == (b, c):
+            return p.reshape(n)
+        raise ValueError(
+            f"parameter shape {p.shape} not broadcastable over batch={b}, channels={c}"
+        )
+
+    z2 = _tiled_composite_solve(
+        y_f,
+        psf_arr,
+        fold_param(lam_tv),
+        fold_param(lam_l1),
+        fold_param(rho1),
+        fold_param(rho2),
+        iters,
+        prox,
+        x_bounds,
+        mesh,
+        axis_name,
+        data_axis_name,
+        fft_mode,
+        prox_impl,
+    )
+    z2 = jnp.transpose(z2.reshape(b, c, h, w), (0, 2, 3, 1))
+    return z2.reshape(orig_shape)

@@ -530,3 +530,59 @@ class TestTiledAnderson:
             tiled_tv_deconvolve_anderson(y, m=0, mesh=mesh8)
         with pytest.raises(ValueError, match="iters"):
             tiled_tv_deconvolve_anderson(y, iters=1, mesh=mesh8)
+
+
+class TestTiledComposite:
+    """Round-3: the composite (TV+L1+box) solver on the tile mesh, q-carry
+    form with the halo-stencil kernel, vs the single-chip composite."""
+
+    @pytest.mark.parametrize("fft_mode", ["xla", "fold1"])
+    @pytest.mark.parametrize("prox_impl", ["xla", "pallas"])
+    def test_matches_single_chip(self, rng, mesh8, fft_mode, prox_impl):
+        from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+        from admm_deconv_tpu.parallel import tiled_composite_tv_deconvolve
+
+        img = _img(rng)
+        psf = np.zeros((5, 5), np.float32)
+        psf[2, :] = 0.2
+        y = jnp.asarray(img)
+        kw = dict(lam_tv=0.01, lam_l1=0.002, rho1=0.1, rho2=0.2, iters=20,
+                  x_bounds=(0.0, 1.0))
+        ref = composite_tv_deconvolve(
+            y, psf, fft_mode="xla", prox_impl="xla", **kw
+        )
+        got = tiled_composite_tv_deconvolve(
+            y, psf, mesh=mesh8, fft_mode=fft_mode, prox_impl=prox_impl, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-5
+        )
+
+    def test_data_x_tile_per_image_lam(self, rng):
+        from admm_deconv_tpu.ops.composite import composite_tv_deconvolve
+        from admm_deconv_tpu.parallel import (
+            make_mesh,
+            tiled_composite_tv_deconvolve,
+        )
+
+        mesh = make_mesh({"data": 2, "tile": 4})
+        imgs = np.stack([_img(rng), _img(rng)])[..., None]
+        y = jnp.asarray(imgs)
+        lam_b = np.asarray([0.01, 0.03], np.float32)
+        kw = dict(lam_tv=lam_b, lam_l1=0.002, rho1=0.1, rho2=0.2, iters=15)
+        ref = composite_tv_deconvolve(y, None, fft_mode="xla",
+                                      prox_impl="xla", **kw)
+        got = tiled_composite_tv_deconvolve(
+            y, None, mesh=mesh, data_axis_name="data", **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-5
+        )
+
+    def test_validation(self, rng, mesh8):
+        from admm_deconv_tpu.parallel import tiled_composite_tv_deconvolve
+
+        with pytest.raises(ValueError, match="mesh"):
+            tiled_composite_tv_deconvolve(jnp.zeros((64, 64)))
+        with pytest.raises(ValueError, match="divide"):
+            tiled_composite_tv_deconvolve(jnp.zeros((60, 64)), mesh=mesh8)

@@ -71,13 +71,18 @@ def main(argv=None):
     p.add_argument("--adaptive", action="store_true", help="adaptive rho + early stop")
     p.add_argument(
         "--fft-mode",
-        default="xla",
-        help='x-update FFT backend; "fold1" is the fastest TPU mode ("xla" '
-        "is exact and CPU-friendly)",
+        default="auto",
+        help='x-update FFT backend; "auto" (default) picks the fastest mode '
+        'for the backend (fold1 delta-form DFT on TPU, xla on CPU)',
     )
     p.add_argument(
-        "--prox-impl", default="xla",
-        help='"pallas" = fused TPU stencil kernel',
+        "--prox-impl", default="auto",
+        help='"auto" (default) = fused TPU stencil kernel on TPU, jnp on CPU',
+    )
+    p.add_argument(
+        "--l1", type=float, default=0.0, metavar="LAM_L1",
+        help="add an L1 sparsity prior via the composite solver "
+        "(TV + L1 + [0,1] box)",
     )
     p.add_argument(
         "--anderson", action="store_true",
@@ -85,8 +90,8 @@ def main(argv=None):
         "residual; fixed rho)",
     )
     args = p.parse_args(argv)
-    if args.adaptive and args.anderson:
-        p.error("--adaptive and --anderson are mutually exclusive")
+    if sum([args.adaptive, args.anderson, args.l1 > 0]) > 1:
+        p.error("--adaptive / --anderson / --l1 are mutually exclusive")
 
     if args.src:
         paths = sorted(glob.glob(os.path.join(args.src, "*")))[:8]
@@ -112,6 +117,14 @@ def main(argv=None):
             max_iters=args.iters * 3, prox=prox, fft_mode=args.fft_mode,
         )
         extra = f" (adaptive: {int(diag.iterations)} iters, rho[0]={float(diag.rho[0]):.4f})"
+    elif args.l1 > 0:
+        restored = adt.composite_tv_deconvolve(
+            batch, psf=jnp.asarray(psf), lam_tv=args.lam, lam_l1=args.l1,
+            rho1=args.rho, rho2=args.rho, iters=args.iters, prox=prox,
+            x_bounds=(0.0, 1.0), fft_mode=args.fft_mode,
+            prox_impl=args.prox_impl,
+        )
+        extra = f" (composite TV+L1, lam_l1={args.l1})"
     elif args.anderson:
         restored, diag = adt.tv_deconvolve_anderson(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,

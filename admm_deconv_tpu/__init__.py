@@ -14,6 +14,7 @@ Layout convention: NHWC ``(batch, height, width, channels)`` everywhere
 from admm_deconv_tpu.ops.solver import (
     tv_deconvolve,
     tv_deconvolve_adaptive,
+    anderson_history_bytes,
     tv_deconvolve_anderson,
     ADMMState,
     ADMMDiagnostics,
@@ -31,6 +32,7 @@ __version__ = "0.1.0"
 __all__ = [
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "anderson_history_bytes",
     "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
     "composite_tv_deconvolve_adaptive",

@@ -10,6 +10,7 @@ from admm_deconv_tpu.ops import prox
 from admm_deconv_tpu.ops.solver import (
     tv_deconvolve,
     tv_deconvolve_adaptive,
+    anderson_history_bytes,
     tv_deconvolve_anderson,
 )
 from admm_deconv_tpu.ops.composite import (
@@ -26,6 +27,7 @@ __all__ = [
     "prox",
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
+    "anderson_history_bytes",
     "tv_deconvolve_anderson",
     "composite_tv_deconvolve",
     "composite_tv_deconvolve_adaptive",

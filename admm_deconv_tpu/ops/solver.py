@@ -848,6 +848,25 @@ def tv_deconvolve_adaptive(
     return x, diags
 
 
+def anderson_history_bytes(
+    shape: tuple[int, ...], m: int = 5, itemsize: int = 4
+) -> int:
+    """HBM footprint of Anderson's two ``(m+1, N, 4*H*W)`` history buffers
+    for an input of the given NHWC (or HW/HWC) shape — budget ``m`` with
+    this before solving large frames (a 3-channel 4K frame at m=5 is
+    ~4.8 GB across both buffers).  For frames where this does not fit, use
+    :func:`admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson`, which
+    shards the histories over the tile mesh axis (footprint / tile count).
+    """
+    if len(shape) == 2:
+        n, h, w = 1, *shape
+    elif len(shape) == 3:
+        n, (h, w) = shape[2], shape[:2]
+    else:
+        n, h, w = shape[0] * shape[3], shape[1], shape[2]
+    return 2 * (m + 1) * n * 4 * h * w * itemsize
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -896,10 +915,13 @@ def tv_deconvolve_anderson(
     ``lax.while_loop`` with ``iters`` as the cap — the accelerated sequence
     simply reaches the tolerance in fewer iterations.
 
-    Memory: two ``(m+1, N, 4*H*W)`` histories — budget ``m`` accordingly for
-    large frames.  ``rho`` is fixed for the whole solve (any ``fft_mode``
-    including ``fold1`` works).  Inference path: not intended for
-    differentiation (use :func:`tv_deconvolve`).
+    Memory: two ``(m+1, N, 4*H*W)`` histories — estimate with
+    :func:`anderson_history_bytes` and budget ``m`` accordingly for large
+    frames, or use the tile-sharded
+    :func:`~admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson` (history
+    divided by the tile count).  ``rho`` is fixed for the whole solve (any
+    ``fft_mode`` including ``fold1`` works).  Inference path: not intended
+    for differentiation (use :func:`tv_deconvolve`).
 
     Returns ``(x, ADMMDiagnostics)`` (``s_norm`` reports the fixed-point
     residual norm ``||T(s)-s||``; ``r_norm`` the primal residual).

@@ -986,13 +986,20 @@ def tv_deconvolve_anderson(
         valid = (jnp.arange(m)[:, None] >= (m + 1 - filled)[None, :])[:, :, None]
         dS = jnp.where(valid, dS, 0.0)
         dF = jnp.where(valid, dF, 0.0)
-        gram = jnp.einsum("knd,lnd->nkl", dF, dF)
+        # fp32 contractions are mandatory here: TPU's DEFAULT bf16 matmuls
+        # put ~0.4% relative error on difference-scale Gram/correction
+        # terms, which wrecks the mixing coefficients at large D (measured:
+        # AA stopped converging at 1080p batch-4 while fine at 256^2).
+        hi = jax.lax.Precision.HIGHEST
+        gram = jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi)
         gram = gram + aa_reg * (
             jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
         ) * jnp.eye(m, dtype=gram.dtype)
-        rhs = jnp.einsum("knd,nd->nk", dF, f)
+        rhs = jnp.einsum("knd,nd->nk", dF, f, precision=hi)
         gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (N, m)
-        s_aa = t.reshape(n, d) - jnp.einsum("knd,nk->nd", dS + dF, gamma)
+        s_aa = t.reshape(n, d) - jnp.einsum(
+            "knd,nk->nd", dS + dF, gamma, precision=hi
+        )
 
         # Per-image decay safeguard (no extra T evaluations): while residuals
         # keep decaying, extrapolate; a blow-up falls back to the plain step

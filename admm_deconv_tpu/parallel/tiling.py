@@ -805,13 +805,22 @@ def _tiled_anderson_solve(
             )[:, :, None]
             dS = jnp.where(valid, dS, 0.0)
             dF = jnp.where(valid, dF, 0.0)
-            gram = jax.lax.psum(jnp.einsum("knd,lnd->nkl", dF, dF), axis_name)
+            # fp32 contractions (see ops/solver.py aa_core): bf16 Gram /
+            # correction terms destroy the mixing at large D.
+            hi = jax.lax.Precision.HIGHEST
+            gram = jax.lax.psum(
+                jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi), axis_name
+            )
             gram = gram + aa_reg * (
                 jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
             ) * jnp.eye(m, dtype=gram.dtype)
-            rhs = jax.lax.psum(jnp.einsum("knd,nd->nk", dF, f), axis_name)
+            rhs = jax.lax.psum(
+                jnp.einsum("knd,nd->nk", dF, f, precision=hi), axis_name
+            )
             gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
-            s_aa = t_s.reshape(nl, d_loc) - jnp.einsum("knd,nk->nd", dS + dF, gamma)
+            s_aa = t_s.reshape(nl, d_loc) - jnp.einsum(
+                "knd,nk->nd", dS + dF, gamma, precision=hi
+            )
             # Per-image decay safeguard on the psum'd (global) residual; the
             # decision is identical on every tile, as in ops/solver.py.
             bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)

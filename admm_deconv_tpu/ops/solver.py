@@ -925,8 +925,15 @@ def tv_deconvolve_anderson(
 
     Returns ``(x, ADMMDiagnostics)`` (``s_norm`` reports the fixed-point
     residual norm ``||T(s)-s||``; ``r_norm`` the primal residual).
+
+    fft_mode note: ``"auto"`` resolves to **"fold"** (bf16x3), NOT the
+    fixed-iteration solver's "fold1" — AA extrapolates differences of the
+    fixed-point map, and fold1's bf16x1 per-iteration transform noise sets a
+    residual floor the accelerated sequence cannot cross (measured on TPU at
+    1080p batch-4: fold converges in 35 iterations where fold1 was still at
+    r~0.33 after 200).  Explicit "fold1" still works for loose tolerances.
     """
-    fft_mode = resolve_fft_mode(fft_mode)
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
     prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
@@ -963,55 +970,63 @@ def tv_deconvolve_anderson(
         return jnp.stack([zx2, zy2, ux2, uy2], axis=1), r
 
     s0 = jnp.zeros((n, 4, h, w), dtype=y_f.dtype)
-    hist0 = jnp.zeros((m + 1, n, d), dtype=y_f.dtype)
+    hist0 = jnp.zeros((m, n, d), dtype=y_f.dtype)
 
-    def aa_core(s, S, F, filled, k_acc, res0):
-        """One T evaluation + windowed extrapolation.  Returns the next
-        iterate plus updated histories, per-image norms, and the raw t."""
+    def aa_core(s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k):
+        """One T evaluation + windowed extrapolation.
+
+        The m-slot DIFFERENCE rings are updated IN PLACE at slot
+        ``(k-1) mod m`` (``dynamic_update_slice`` aliases the loop carry) —
+        the previous snapshot-history formulation shifted two full
+        ``(m+1, N, D)`` buffers every iteration, ~5 GB of pure copy traffic
+        per iteration at 1080p batch-4.  The least-squares mixing problem is
+        invariant to column order, so validity is tracked by slot AGE
+        against the per-image count ``cnt`` of non-stale pairs (stale =
+        pre-restart or never written); invalid columns are zero-masked so
+        the regularized Gram solve sends their gamma to ~0.
+        """
         t, r_norm = t_map(s)
         f = (t - s).reshape(n, d)
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
         res0 = jnp.where(res0 < 0, res, res0)  # first-iteration residual
 
-        # Ring-buffer append at the oldest slot.  ``filled`` is PER IMAGE so
-        # one image's safeguard restart never truncates another's window.
-        S = jnp.concatenate([S[1:], s.reshape(1, n, d)], axis=0)
-        F = jnp.concatenate([F[1:], f[None]], axis=0)
-        filled = jnp.minimum(filled + 1, m + 1)  # (N,)
-
-        # Differences over each image's filled window (unfilled pairs masked
-        # to 0 so the regularized Gram solve sends their gamma to ~0).
-        dS = S[1:] - S[:-1]  # (m, N, D)
-        dF = F[1:] - F[:-1]
-        valid = (jnp.arange(m)[:, None] >= (m + 1 - filled)[None, :])[:, :, None]
-        dS = jnp.where(valid, dS, 0.0)
-        dF = jnp.where(valid, dF, 0.0)
+        s_flat = s.reshape(n, d)
+        idx = (k - 1) % m  # slot; the k=0 write is garbage but never valid
+        dS = jax.lax.dynamic_update_slice(dS, (s_flat - s_prev)[None], (idx, 0, 0))
+        dF = jax.lax.dynamic_update_slice(dF, (f - f_prev)[None], (idx, 0, 0))
+        cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)  # (N,)
+        ages = (k - 1 - jnp.arange(m)) % m + 1  # (m,) slot ages, 1 = newest
+        valid = (ages[:, None] <= cnt[None, :])[:, :, None]
+        dSm = jnp.where(valid, dS, 0.0)
+        dFm = jnp.where(valid, dF, 0.0)
         # fp32 contractions are mandatory here: TPU's DEFAULT bf16 matmuls
         # put ~0.4% relative error on difference-scale Gram/correction
-        # terms, which wrecks the mixing coefficients at large D (measured:
-        # AA stopped converging at 1080p batch-4 while fine at 256^2).
+        # terms, which degrades the mixing coefficients at large D.
         hi = jax.lax.Precision.HIGHEST
-        gram = jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi)
+        gram = jnp.einsum("knd,lnd->nkl", dFm, dFm, precision=hi)
         gram = gram + aa_reg * (
             jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
         ) * jnp.eye(m, dtype=gram.dtype)
-        rhs = jnp.einsum("knd,nd->nk", dF, f, precision=hi)
+        rhs = jnp.einsum("knd,nd->nk", dFm, f, precision=hi)
         gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (N, m)
         s_aa = t.reshape(n, d) - jnp.einsum(
-            "knd,nk->nd", dS + dF, gamma, precision=hi
+            "knd,nk->nd", dSm + dFm, gamma, precision=hi
         )
 
         # Per-image decay safeguard (no extra T evaluations): while residuals
         # keep decaying, extrapolate; a blow-up falls back to the plain step
-        # AND restarts that image's window (filled reset to 1: only the
-        # just-appended entry survives, so extrapolation resumes from fresh
-        # post-fallback history — Zhang-O'Donoghue-Boyd type-I restart).
+        # AND restarts that image's window (cnt reset to 0, so extrapolation
+        # resumes from fresh post-fallback differences —
+        # Zhang-O'Donoghue-Boyd type-I restart).
         bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)
-        take = (filled >= 2) & (res <= bound)
+        take = (cnt >= 1) & (res <= bound)
         k_acc = jnp.where(take, k_acc + 1.0, k_acc)
-        filled = jnp.where(take, filled, jnp.minimum(filled, 1))
+        cnt = jnp.where(take, cnt, 0)
         s_next = jnp.where(take[:, None], s_aa, t.reshape(n, d))
-        return s_next.reshape(n, 4, h, w), S, F, filled, k_acc, res0, r_norm, res, t
+        return (
+            s_next.reshape(n, 4, h, w), dS, dF, s_flat, f, cnt, k_acc, res0,
+            r_norm, res, t,
+        )
 
     res0_init = jnp.full((n,), -1.0, dtype=y_f.dtype)
     k_acc_init = jnp.zeros((n,), dtype=y_f.dtype)
@@ -1031,9 +1046,9 @@ def tv_deconvolve_anderson(
             )
 
         def wbody(carry):
-            s, S, F, filled, k_acc, res0, _r, _res, it, _done = carry
-            s2, S, F, filled, k_acc, res0, r_norm, res, t = aa_core(
-                s, S, F, filled, k_acc, res0
+            s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res, it, _done = carry
+            s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res, t = aa_core(
+                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, it
             )
             dz = grad2d_adjoint(t[:, 0] - s[:, 0], t[:, 1] - s[:, 1])
             s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
@@ -1043,32 +1058,37 @@ def tv_deconvolve_anderson(
             eps_pri = sqrt_dim * eps_abs + eps_rel * z_norm
             eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
             done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
-            return (s2, S, F, filled, k_acc, res0, r_norm, res, it + 1, done)
+            return (
+                s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
+                it + 1, done,
+            )
 
+        flat0 = jnp.zeros((n, d), dtype=y_f.dtype)
         carry0 = (
-            s0, hist0, hist0, jnp.zeros((n,), jnp.int32), k_acc_init,
-            res0_init, res0_init, res0_init, jnp.asarray(0),
+            s0, hist0, hist0, flat0, flat0, jnp.zeros((n,), jnp.int32),
+            k_acc_init, res0_init, res0_init, res0_init, jnp.asarray(0),
             jnp.zeros((n,), bool),
         )
-        s, _, _, _, _, _, r_norm, fp_res, it_fin, _ = jax.lax.while_loop(
-            cond, wbody, carry0
-        )
+        out = jax.lax.while_loop(cond, wbody, carry0)
+        s, r_norm, fp_res, it_fin = out[0], out[8], out[9], out[10]
         iters_run = it_fin + 1  # + the final output solve below
     else:
-        def body(carry, _):
-            s, S, F, filled, k_acc, res0, _r, _res = carry
-            s2, S, F, filled, k_acc, res0, r_norm, res, _t = aa_core(
-                s, S, F, filled, k_acc, res0
+        def body(carry, k):
+            s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
+            s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res, _t = aa_core(
+                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k
             )
-            return (s2, S, F, filled, k_acc, res0, r_norm, res), None
+            return (
+                s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res
+            ), None
 
+        flat0 = jnp.zeros((n, d), dtype=y_f.dtype)
         carry0 = (
-            s0, hist0, hist0, jnp.zeros((n,), jnp.int32), k_acc_init,
-            res0_init, res0_init, res0_init,
+            s0, hist0, hist0, flat0, flat0, jnp.zeros((n,), jnp.int32),
+            k_acc_init, res0_init, res0_init, res0_init,
         )
-        (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
-            body, carry0, None, length=iters - 1
-        )
+        out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
+        s, r_norm, fp_res = out[0], out[8], out[9]
         iters_run = jnp.asarray(iters)
     # One final solve produces the output image from the accelerated state —
     # same total solve count as tv_deconvolve (iters-1 loop + 1); residual

@@ -783,58 +783,63 @@ def _tiled_anderson_solve(
             return jnp.stack([zx2, zy2, ux2, uy2], axis=1), r
 
         s0 = jnp.zeros((nl, 4, ht, w), y_tile.dtype)
-        hist0 = jnp.zeros((m + 1, nl, d_loc), y_tile.dtype)
+        hist0 = jnp.zeros((m, nl, d_loc), y_tile.dtype)
 
-        def aa_core(s, S, F, filled, k_acc, res0):
+        def aa_core(s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k):
             """Windowed type-II extrapolation, distributed: the (m, m) Gram
             and rhs are psum'd over the tile axis, so every tile solves the
             SAME per-image mixing problem — consensus gamma — while the
-            histories stay tile-local (the (m+1, N, 4*H*W) memory footprint
-            is divided by the tile count)."""
+            m-slot difference rings stay tile-local (footprint divided by
+            the tile count) and are updated IN PLACE (same ring formulation
+            as the single-chip aa_core, ops/solver.py)."""
             t_s, r_norm = t_map(s)
             f = (t_s - s).reshape(nl, d_loc)
             res = jnp.sqrt(psum_img(jnp.sum(f * f, axis=-1)))
             res0 = jnp.where(res0 < 0, res, res0)
-            S = jnp.concatenate([S[1:], s.reshape(1, nl, d_loc)], axis=0)
-            F = jnp.concatenate([F[1:], f[None]], axis=0)
-            filled = jnp.minimum(filled + 1, m + 1)
-            dS = S[1:] - S[:-1]
-            dF = F[1:] - F[:-1]
-            valid = (
-                jnp.arange(m)[:, None] >= (m + 1 - filled)[None, :]
-            )[:, :, None]
-            dS = jnp.where(valid, dS, 0.0)
-            dF = jnp.where(valid, dF, 0.0)
+            s_flat = s.reshape(nl, d_loc)
+            idx = (k - 1) % m
+            dS = jax.lax.dynamic_update_slice(
+                dS, (s_flat - s_prev)[None], (idx, 0, 0)
+            )
+            dF = jax.lax.dynamic_update_slice(
+                dF, (f - f_prev)[None], (idx, 0, 0)
+            )
+            cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)
+            ages = (k - 1 - jnp.arange(m)) % m + 1
+            valid = (ages[:, None] <= cnt[None, :])[:, :, None]
+            dSm = jnp.where(valid, dS, 0.0)
+            dFm = jnp.where(valid, dF, 0.0)
             # fp32 contractions (see ops/solver.py aa_core): bf16 Gram /
-            # correction terms destroy the mixing at large D.
+            # correction terms degrade the mixing at large D.
             hi = jax.lax.Precision.HIGHEST
             gram = jax.lax.psum(
-                jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi), axis_name
+                jnp.einsum("knd,lnd->nkl", dFm, dFm, precision=hi), axis_name
             )
             gram = gram + aa_reg * (
                 jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
             ) * jnp.eye(m, dtype=gram.dtype)
             rhs = jax.lax.psum(
-                jnp.einsum("knd,nd->nk", dF, f, precision=hi), axis_name
+                jnp.einsum("knd,nd->nk", dFm, f, precision=hi), axis_name
             )
             gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
             s_aa = t_s.reshape(nl, d_loc) - jnp.einsum(
-                "knd,nk->nd", dS + dF, gamma, precision=hi
+                "knd,nk->nd", dSm + dFm, gamma, precision=hi
             )
             # Per-image decay safeguard on the psum'd (global) residual; the
             # decision is identical on every tile, as in ops/solver.py.
             bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)
-            take = (filled >= 2) & (res <= bound)
+            take = (cnt >= 1) & (res <= bound)
             k_acc = jnp.where(take, k_acc + 1.0, k_acc)
-            filled = jnp.where(take, filled, jnp.minimum(filled, 1))
+            cnt = jnp.where(take, cnt, 0)
             s_next = jnp.where(take[:, None], s_aa, t_s.reshape(nl, d_loc))
             return (
                 s_next.reshape(nl, 4, ht, w),
-                S, F, filled, k_acc, res0, r_norm, res, t_s,
+                dS, dF, s_flat, f, cnt, k_acc, res0, r_norm, res, t_s,
             )
 
         res0_init = jnp.full((nl,), -1.0, y_tile.dtype)
         k_acc_init = jnp.zeros((nl,), y_tile.dtype)
+        flat0 = jnp.zeros((nl, d_loc), y_tile.dtype)
         rho_v = rho
 
         if early_stop:
@@ -846,9 +851,11 @@ def _tiled_anderson_solve(
                 return jnp.logical_and(it < iters - 1, unfinished > 0)
 
             def wbody(carry):
-                s, S, F, filled, k_acc, res0, _r, _res, it, _done = carry
-                s2, S, F, filled, k_acc, res0, r_norm, res, t_s = aa_core(
-                    s, S, F, filled, k_acc, res0
+                (s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res,
+                 it, _done) = carry
+                (s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
+                 t_s) = aa_core(
+                    s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, it
                 )
                 dz = _grad2d_adjoint_tiled(
                     t_s[:, 0] - s[:, 0], t_s[:, 1] - s[:, 1], axis_name
@@ -868,32 +875,36 @@ def _tiled_anderson_solve(
                 eps_pri = sqrt_dim * eps_abs + eps_rel * z_norm
                 eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
                 done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
-                return (s2, S, F, filled, k_acc, res0, r_norm, res, it + 1, done)
+                return (
+                    s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm,
+                    res, it + 1, done,
+                )
 
             carry0 = (
-                s0, hist0, hist0, jnp.zeros((nl,), jnp.int32), k_acc_init,
-                res0_init, res0_init, res0_init, jnp.asarray(0),
+                s0, hist0, hist0, flat0, flat0, jnp.zeros((nl,), jnp.int32),
+                k_acc_init, res0_init, res0_init, res0_init, jnp.asarray(0),
                 jnp.zeros((nl,), bool),
             )
-            s, _, _, _, _, _, r_norm, fp_res, it_fin, _ = jax.lax.while_loop(
-                cond, wbody, carry0
-            )
+            out = jax.lax.while_loop(cond, wbody, carry0)
+            s, r_norm, fp_res, it_fin = out[0], out[8], out[9], out[10]
             iters_run = it_fin + 1
         else:
-            def body(carry, _):
-                s, S, F, filled, k_acc, res0, _r, _res = carry
-                s2, S, F, filled, k_acc, res0, r_norm, res, _t = aa_core(
-                    s, S, F, filled, k_acc, res0
+            def body(carry, k):
+                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
+                (s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
+                 _t) = aa_core(
+                    s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k
                 )
-                return (s2, S, F, filled, k_acc, res0, r_norm, res), None
+                return (
+                    s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res
+                ), None
 
             carry0 = (
-                s0, hist0, hist0, jnp.zeros((nl,), jnp.int32), k_acc_init,
-                res0_init, res0_init, res0_init,
+                s0, hist0, hist0, flat0, flat0, jnp.zeros((nl,), jnp.int32),
+                k_acc_init, res0_init, res0_init, res0_init,
             )
-            (s, _, _, _, _, _, r_norm, fp_res), _ = jax.lax.scan(
-                body, carry0, None, length=iters - 1
-            )
+            out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
+            s, r_norm, fp_res = out[0], out[8], out[9]
             iters_run = jnp.asarray(iters)
         q_fin = _grad2d_adjoint_tiled(
             s[:, 0] - s[:, 2], s[:, 1] - s[:, 3], axis_name
@@ -949,8 +960,12 @@ def tiled_tv_deconvolve_anderson(
     for the whole solve (any ``fft_mode`` including ``fold1``).
 
     Returns ``(x, ADMMDiagnostics)`` (``s_norm`` = fixed-point residual).
+
+    ``fft_mode="auto"`` resolves to "fold" (not fold1): AA needs a low-noise
+    fixed-point map — see :func:`admm_deconv_tpu.ops.solver.
+    tv_deconvolve_anderson`.
     """
-    fft_mode = resolve_fft_mode(fft_mode)
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
     if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
         raise ValueError(
             f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "

@@ -335,12 +335,6 @@ def _tiled_solve(
             fft_mode, prec, has_psf, x_bounds,
         )
 
-        def x_update(state, rho_c, prec_x=prec):
-            q = _grad2d_adjoint_tiled(
-                state.zx - state.ux, state.zy - state.uy, axis_name
-            )
-            return x_from_q(q, rho_c, prec_x)
-
         if fast:
             # q-carry fast loop (the single-chip solver's default execution,
             # ops/solver.py): carry (q, ux, uy) — z and x never materialize —
@@ -376,7 +370,10 @@ def _tiled_solve(
             return x_from_q(carry[0], rho_l, final_prec)
 
         def one_iter(state, rho_c, prec_x=prec):
-            x = x_update(state, rho_c, prec_x)
+            q = _grad2d_adjoint_tiled(
+                state.zx - state.ux, state.zy - state.uy, axis_name
+            )
+            x = x_from_q(q, rho_c, prec_x)
             dxx, dxy = _grad2d_tiled(x, axis_name)
             if alpha != 1.0:
                 # Over-relaxation (Boyd sec. 3.4.3), as in the single-chip
@@ -388,7 +385,7 @@ def _tiled_solve(
                 rxx, rxy = dxx, dxy
             tau = lam_l / rho_c
             zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
-            return ADMMState(x, zx, zy, ux, uy), dxx, dxy
+            return ADMMState(x, zx, zy, ux, uy), dxx, dxy, q
 
         def residuals(state, z_prev_x, z_prev_y, dxx, dxy, rho_c):
             """Per-image primal/dual residual + feasibility norms, psum'd
@@ -435,7 +432,7 @@ def _tiled_solve(
             # produce the output x at HIGH precision (matching the
             # single-chip fold1 post-loop solve).
             def body(carry, _):
-                state, _, _ = one_iter(carry[0], rho0)
+                state, _, _, _ = one_iter(carry[0], rho0)
                 return (state, carry[0].zx, carry[0].zy), None
 
             (state, _, _), _ = jax.lax.scan(
@@ -443,13 +440,13 @@ def _tiled_solve(
             )
             zpx, zpy = state.zx, state.zy
             final_prec = jax.lax.Precision.HIGH if delta else prec
-            state, dxx, dxy = one_iter(state, rho0, prec_x=final_prec)
+            state, dxx, dxy, _ = one_iter(state, rho0, prec_x=final_prec)
             r_norm, s_norm, _ = residuals(state, zpx, zpy, dxx, dxy, rho0)
             it_img = varying_data(jnp.full((nl,), iters, jnp.int32))
             return state.x, r_norm, s_norm, it_img, rho0[:, 0, 0], state
 
         def cond(carry):
-            _state, _rho, it, done, _r, _s = carry
+            it, done = carry[2], carry[3]
             unfinished = jnp.sum(jnp.logical_not(done).astype(jnp.int32))
             if d_ax is not None:
                 # Data shards must agree on the trip count (collectives in
@@ -457,10 +454,15 @@ def _tiled_solve(
                 unfinished = jax.lax.psum(unfinished, d_ax)
             return jnp.logical_and(it < iters, unfinished > 0)
 
+        # fold1 runs its loop solves at bf16x1; the while-loop carry tracks
+        # the q that produced state.x so one post-loop HIGH re-solve can
+        # replace the returned image (same q, better transform precision) —
+        # the documented final-solve-at-HIGH behavior, matching the
+        # single-chip solver's track_q path (ops/solver.py).
         def body(carry):
-            state, rho_c, it, _done, _r, _s = carry
+            state, rho_c, it = carry[0], carry[1], carry[2]
             z_prev_x, z_prev_y = state.zx, state.zy
-            state, dxx, dxy = one_iter(state, rho_c)
+            state, dxx, dxy, q_used = one_iter(state, rho_c)
             r_norm, s_norm, done = residuals(
                 state, z_prev_x, z_prev_y, dxx, dxy, rho_c
             )
@@ -478,7 +480,8 @@ def _tiled_solve(
                 state = ADMMState(
                     state.x, state.zx, state.zy, state.ux / factor, state.uy / factor
                 )
-            return (state, rho_c, it + 1, done, r_norm, s_norm)
+            out = (state, rho_c, it + 1, done, r_norm, s_norm)
+            return out + (q_used,) if delta else out
 
         norms0 = varying_data(jnp.full((nl,), jnp.inf, dtype=y.dtype))
         init = (
@@ -489,9 +492,18 @@ def _tiled_solve(
             norms0,
             norms0,
         )
-        state, rho_fin, it, done, r_norm, s_norm = jax.lax.while_loop(
-            cond, body, init
-        )
+        if delta:
+            init = init + (
+                _grad2d_adjoint_tiled(
+                    st0.zx - st0.ux, st0.zy - st0.uy, axis_name
+                ),
+            )
+        res = jax.lax.while_loop(cond, body, init)
+        state, rho_fin, it, done, r_norm, s_norm = res[:6]
+        if delta:
+            state = state._replace(
+                x=x_from_q(res[6], rho_fin, jax.lax.Precision.HIGH)
+            )
         it_img = varying_data(jnp.full((nl,), 1, jnp.int32)) * it
         return state.x, r_norm, s_norm, it_img, rho_fin[:, 0, 0], state
 

@@ -42,8 +42,18 @@ from admm_deconv_tpu.ops.pallas.stencil_kernels import (
 )
 
 # Rows per grid step: 8 f32 buffers x BLOCK_M x 128-lane-padded W, double
-# buffered, must fit the ~16 MB VMEM budget (64 x 1920 x 4 B x 8 x 2 = 7.9 MB).
+# buffered, PLUS ~4 in-kernel temporaries must fit the ~16 MB VMEM budget
+# (64 x 1920 x 4 B x 8 x 2 = 7.9 MB streams + ~2 MB stack).  The row count
+# scales inversely with row bytes: a fixed 64 rows at W=3840 allocates
+# 18.75 MB of kernel stack and fails Mosaic's scoped-vmem check at 4K.
 _BLOCK_M = 64
+
+
+def _block_rows(w: int, itemsize: int) -> int:
+    """Per-block row count budgeted by row bytes (64 rows at W=1920/f32,
+    scaled down for wider rows, floor 8, multiple of 8)."""
+    rows = (_BLOCK_M * 1920 * 4) // (w * itemsize)
+    return max(8, (rows // 8) * 8)
 
 
 def _kernel(mode, per_plane, tau_ref, dxx_ref, dxy_ref, ux_ref, uy_ref,
@@ -69,7 +79,7 @@ def _prox_dual_pallas(dxx, dxy, ux, uy, tau_c, mode, interpret):
             h *= d
         shape = (n, h, w)
         tau_arr = tau_c.reshape(n, 1)
-        bm = min(_BLOCK_M, h)
+        bm = min(_block_rows(w, dxx.dtype.itemsize), h)
         grid = (n, pl.cdiv(h, bm))
         tile = pl.BlockSpec((1, bm, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(shape, dxx.dtype)
@@ -79,8 +89,9 @@ def _prox_dual_pallas(dxx, dxy, ux, uy, tau_c, mode, interpret):
             m *= d
         shape = (m, w)
         tau_arr = tau_c.reshape(1, 1)
-        grid = (pl.cdiv(m, _BLOCK_M),)
-        tile = pl.BlockSpec((_BLOCK_M, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        bm = min(_block_rows(w, dxx.dtype.itemsize), m)
+        grid = (pl.cdiv(m, bm),)
+        tile = pl.BlockSpec((bm, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(shape, dxx.dtype)
 
     def flat(a):

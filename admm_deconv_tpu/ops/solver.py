@@ -982,8 +982,17 @@ def tv_deconvolve_anderson(
         per iteration at 1080p batch-4.  The least-squares mixing problem is
         invariant to column order, so validity is tracked by slot AGE
         against the per-image count ``cnt`` of non-stale pairs (stale =
-        pre-restart or never written); invalid columns are zero-masked so
-        the regularized Gram solve sends their gamma to ~0.
+        pre-restart or never written).  Staleness is masked on the TINY
+        ``(N, m, m)`` Gram / ``(N, m)`` rhs — NOT on the ``(m, N, D)``
+        rings: zeroing an invalid slot's Gram row+column decouples it from
+        the solve, whose regularization diagonal then yields an EXACT zero
+        gamma for that slot, so the raw rings feed the correction
+        contractions directly (``0 * stale = 0``, bit-identical to
+        contracting masked ring copies).  The previous ring-masking form
+        materialized two masked rings plus a summed ``dS + dF`` temporary
+        every iteration — ~12 GB of pure copy traffic per iteration at
+        1080p batch-4 / m=5, the bulk of AA's measured 17x per-iteration
+        wall-clock overhead (BENCH_SUITE_r3.json anderson_1080p_overhead).
         """
         t, r_norm = t_map(s)
         f = (t - s).reshape(n, d)
@@ -996,21 +1005,23 @@ def tv_deconvolve_anderson(
         dF = jax.lax.dynamic_update_slice(dF, (f - f_prev)[None], (idx, 0, 0))
         cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)  # (N,)
         ages = (k - 1 - jnp.arange(m)) % m + 1  # (m,) slot ages, 1 = newest
-        valid = (ages[:, None] <= cnt[None, :])[:, :, None]
-        dSm = jnp.where(valid, dS, 0.0)
-        dFm = jnp.where(valid, dF, 0.0)
+        valid = ages[None, :] <= cnt[:, None]  # (N, m)
         # fp32 contractions are mandatory here: TPU's DEFAULT bf16 matmuls
         # put ~0.4% relative error on difference-scale Gram/correction
         # terms, which degrades the mixing coefficients at large D.
         hi = jax.lax.Precision.HIGHEST
-        gram = jnp.einsum("knd,lnd->nkl", dFm, dFm, precision=hi)
+        gram = jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi)
+        gram = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
         gram = gram + aa_reg * (
             jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
         ) * jnp.eye(m, dtype=gram.dtype)
-        rhs = jnp.einsum("knd,nd->nk", dFm, f, precision=hi)
+        rhs = jnp.where(
+            valid, jnp.einsum("knd,nd->nk", dF, f, precision=hi), 0.0
+        )
         gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (N, m)
-        s_aa = t.reshape(n, d) - jnp.einsum(
-            "knd,nk->nd", dSm + dFm, gamma, precision=hi
+        s_aa = t.reshape(n, d) - (
+            jnp.einsum("knd,nk->nd", dS, gamma, precision=hi)
+            + jnp.einsum("knd,nk->nd", dF, gamma, precision=hi)
         )
 
         # Per-image decay safeguard (no extra T evaluations): while residuals

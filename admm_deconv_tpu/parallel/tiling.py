@@ -818,24 +818,32 @@ def _tiled_anderson_solve(
             )
             cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)
             ages = (k - 1 - jnp.arange(m)) % m + 1
-            valid = (ages[:, None] <= cnt[None, :])[:, :, None]
-            dSm = jnp.where(valid, dS, 0.0)
-            dFm = jnp.where(valid, dF, 0.0)
+            valid = ages[None, :] <= cnt[:, None]  # (nl, m)
             # fp32 contractions (see ops/solver.py aa_core): bf16 Gram /
-            # correction terms degrade the mixing at large D.
+            # correction terms degrade the mixing at large D.  Staleness is
+            # masked on the tiny psum'd Gram/rhs, not the rings — invalid
+            # slots get an exactly-zero gamma through the regularization
+            # diagonal, so the raw tile-local rings feed the correction
+            # contractions (same traffic saving as the single-chip aa_core).
             hi = jax.lax.Precision.HIGHEST
             gram = jax.lax.psum(
-                jnp.einsum("knd,lnd->nkl", dFm, dFm, precision=hi), axis_name
+                jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi), axis_name
             )
+            gram = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
             gram = gram + aa_reg * (
                 jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
             ) * jnp.eye(m, dtype=gram.dtype)
-            rhs = jax.lax.psum(
-                jnp.einsum("knd,nd->nk", dFm, f, precision=hi), axis_name
+            rhs = jnp.where(
+                valid,
+                jax.lax.psum(
+                    jnp.einsum("knd,nd->nk", dF, f, precision=hi), axis_name
+                ),
+                0.0,
             )
             gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
-            s_aa = t_s.reshape(nl, d_loc) - jnp.einsum(
-                "knd,nk->nd", dSm + dFm, gamma, precision=hi
+            s_aa = t_s.reshape(nl, d_loc) - (
+                jnp.einsum("knd,nk->nd", dS, gamma, precision=hi)
+                + jnp.einsum("knd,nk->nd", dF, gamma, precision=hi)
             )
             # Per-image decay safeguard on the psum'd (global) residual; the
             # decision is identical on every tile, as in ops/solver.py.

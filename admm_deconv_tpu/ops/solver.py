@@ -915,7 +915,8 @@ def tv_deconvolve_anderson(
     ``lax.while_loop`` with ``iters`` as the cap — the accelerated sequence
     simply reaches the tolerance in fewer iterations.
 
-    Memory: two ``(m+1, N, 4*H*W)`` histories — estimate with
+    Memory: two ``(m, N, 4*H*W)`` difference rings plus two ``(N, 4*H*W)``
+    snapshot buffers (= ``2*(m+1)*N*4*H*W`` floats total) — estimate with
     :func:`anderson_history_bytes` and budget ``m`` accordingly for large
     frames, or use the tile-sharded
     :func:`~admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson` (history
@@ -972,7 +973,7 @@ def tv_deconvolve_anderson(
     s0 = jnp.zeros((n, 4, h, w), dtype=y_f.dtype)
     hist0 = jnp.zeros((m, n, d), dtype=y_f.dtype)
 
-    def aa_core(s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k):
+    def aa_core(s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k):
         """One T evaluation + windowed extrapolation.
 
         The m-slot DIFFERENCE rings are updated IN PLACE at slot
@@ -987,22 +988,38 @@ def tv_deconvolve_anderson(
         rings: zeroing an invalid slot's Gram row+column decouples it from
         the solve, whose regularization diagonal then yields an EXACT zero
         gamma for that slot, so the raw rings feed the correction
-        contractions directly (``0 * stale = 0``, bit-identical to
-        contracting masked ring copies).  The previous ring-masking form
-        materialized two masked rings plus a summed ``dS + dF`` temporary
-        every iteration — ~12 GB of pure copy traffic per iteration at
-        1080p batch-4 / m=5, the bulk of AA's measured 17x per-iteration
-        wall-clock overhead (BENCH_SUITE_r3.json anderson_1080p_overhead).
+        contraction directly (``0 * stale = 0``, bit-identical to
+        contracting masked ring copies).
+
+        Ring-traffic minimization (this is AA's entire overhead at 1080p+
+        scale, where the base iteration is HBM-bound):
+          * ``dS`` is never needed alone — the correction is
+            ``(dS + dF) . gamma`` — so the second ring stores the SUM
+            ``dSF = dS + dF`` directly.  Since ``s + f = T(s)``, its slot
+            update is just the difference of consecutive map outputs
+            ``t_k - t_{k-1}``: one ring read per iteration for the
+            correction instead of two.
+          * The Gram matrix is carried and updated RANK-1: only slot
+            ``idx`` changed, so one ``(m, D) x (D, 2)`` contraction against
+            the probe ``[dF_new, f]`` refreshes both the Gram row/column
+            and the full rhs ``dF . f`` in a single pass over the ``dF``
+            ring (the carried Gram stays consistent with ring contents —
+            every slot write refreshes its row/column, and untouched
+            entries refer to untouched slots).
+        Net: ~2 ring reads + 2 slot writes per iteration where the round-2
+        form did ~5 full ring reads (measured 17x per-iteration overhead at
+        1080p batch-4, BENCH_SUITE_r3.json anderson_1080p_overhead).
         """
         t, r_norm = t_map(s)
         f = (t - s).reshape(n, d)
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
         res0 = jnp.where(res0 < 0, res, res0)  # first-iteration residual
 
-        s_flat = s.reshape(n, d)
+        t_flat = t.reshape(n, d)
         idx = (k - 1) % m  # slot; the k=0 write is garbage but never valid
-        dS = jax.lax.dynamic_update_slice(dS, (s_flat - s_prev)[None], (idx, 0, 0))
-        dF = jax.lax.dynamic_update_slice(dF, (f - f_prev)[None], (idx, 0, 0))
+        new_df = f - f_prev
+        dSF = jax.lax.dynamic_update_slice(dSF, (t_flat - t_prev)[None], (idx, 0, 0))
+        dF = jax.lax.dynamic_update_slice(dF, new_df[None], (idx, 0, 0))
         cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)  # (N,)
         ages = (k - 1 - jnp.arange(m)) % m + 1  # (m,) slot ages, 1 = newest
         valid = ages[None, :] <= cnt[:, None]  # (N, m)
@@ -1010,19 +1027,18 @@ def tv_deconvolve_anderson(
         # put ~0.4% relative error on difference-scale Gram/correction
         # terms, which degrades the mixing coefficients at large D.
         hi = jax.lax.Precision.HIGHEST
-        gram = jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi)
-        gram = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
-        gram = gram + aa_reg * (
-            jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
-        ) * jnp.eye(m, dtype=gram.dtype)
-        rhs = jnp.where(
-            valid, jnp.einsum("knd,nd->nk", dF, f, precision=hi), 0.0
-        )
-        gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (N, m)
-        s_aa = t.reshape(n, d) - (
-            jnp.einsum("knd,nk->nd", dS, gamma, precision=hi)
-            + jnp.einsum("knd,nk->nd", dF, gamma, precision=hi)
-        )
+        probe = jnp.stack([new_df, f], axis=1)  # (N, 2, D)
+        rv = jnp.einsum("knd,njd->nkj", dF, probe, precision=hi)  # (N, m, 2)
+        row = rv[:, :, 0]  # dF . dF[idx] — the refreshed Gram row/column
+        gram = jax.lax.dynamic_update_slice(gram, row[:, None, :], (0, idx, 0))
+        gram = jax.lax.dynamic_update_slice(gram, row[:, :, None], (0, 0, idx))
+        g = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
+        g = g + aa_reg * (
+            jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] + 1.0
+        ) * jnp.eye(m, dtype=g.dtype)
+        rhs = jnp.where(valid, rv[:, :, 1], 0.0)
+        gamma = jnp.linalg.solve(g, rhs[..., None])[..., 0]  # (N, m)
+        s_aa = t_flat - jnp.einsum("knd,nk->nd", dSF, gamma, precision=hi)
 
         # Per-image decay safeguard (no extra T evaluations): while residuals
         # keep decaying, extrapolate; a blow-up falls back to the plain step
@@ -1033,10 +1049,10 @@ def tv_deconvolve_anderson(
         take = (cnt >= 1) & (res <= bound)
         k_acc = jnp.where(take, k_acc + 1.0, k_acc)
         cnt = jnp.where(take, cnt, 0)
-        s_next = jnp.where(take[:, None], s_aa, t.reshape(n, d))
+        s_next = jnp.where(take[:, None], s_aa, t_flat)
         return (
-            s_next.reshape(n, 4, h, w), dS, dF, s_flat, f, cnt, k_acc, res0,
-            r_norm, res, t,
+            s_next.reshape(n, 4, h, w), dSF, dF, gram, t_flat, f, cnt, k_acc,
+            res0, r_norm, res, t,
         )
 
     res0_init = jnp.full((n,), -1.0, dtype=y_f.dtype)
@@ -1057,9 +1073,11 @@ def tv_deconvolve_anderson(
             )
 
         def wbody(carry):
-            s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res, it, _done = carry
-            s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res, t = aa_core(
-                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, it
+            (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r, _res,
+             it, _done) = carry
+            (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+             res, t) = aa_core(
+                s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, it
             )
             dz = grad2d_adjoint(t[:, 0] - s[:, 0], t[:, 1] - s[:, 1])
             s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
@@ -1070,36 +1088,40 @@ def tv_deconvolve_anderson(
             eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
             done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
             return (
-                s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
-                it + 1, done,
+                s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+                res, it + 1, done,
             )
 
         flat0 = jnp.zeros((n, d), dtype=y_f.dtype)
+        gram0 = jnp.zeros((n, m, m), dtype=y_f.dtype)
         carry0 = (
-            s0, hist0, hist0, flat0, flat0, jnp.zeros((n,), jnp.int32),
+            s0, hist0, hist0, gram0, flat0, flat0, jnp.zeros((n,), jnp.int32),
             k_acc_init, res0_init, res0_init, res0_init, jnp.asarray(0),
             jnp.zeros((n,), bool),
         )
         out = jax.lax.while_loop(cond, wbody, carry0)
-        s, r_norm, fp_res, it_fin = out[0], out[8], out[9], out[10]
+        s, r_norm, fp_res, it_fin = out[0], out[9], out[10], out[11]
         iters_run = it_fin + 1  # + the final output solve below
     else:
         def body(carry, k):
-            s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
-            s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res, _t = aa_core(
-                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k
+            s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
+            (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+             res, _t) = aa_core(
+                s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k
             )
             return (
-                s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res
+                s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+                res,
             ), None
 
         flat0 = jnp.zeros((n, d), dtype=y_f.dtype)
+        gram0 = jnp.zeros((n, m, m), dtype=y_f.dtype)
         carry0 = (
-            s0, hist0, hist0, flat0, flat0, jnp.zeros((n,), jnp.int32),
+            s0, hist0, hist0, gram0, flat0, flat0, jnp.zeros((n,), jnp.int32),
             k_acc_init, res0_init, res0_init, res0_init,
         )
         out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
-        s, r_norm, fp_res = out[0], out[8], out[9]
+        s, r_norm, fp_res = out[0], out[9], out[10]
         iters_run = jnp.asarray(iters)
     # One final solve produces the output image from the accelerated state —
     # same total solve count as tv_deconvolve (iters-1 loop + 1); residual

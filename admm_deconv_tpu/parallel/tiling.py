@@ -797,25 +797,31 @@ def _tiled_anderson_solve(
         s0 = jnp.zeros((nl, 4, ht, w), y_tile.dtype)
         hist0 = jnp.zeros((m, nl, d_loc), y_tile.dtype)
 
-        def aa_core(s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k):
+        def aa_core(s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k):
             """Windowed type-II extrapolation, distributed: the (m, m) Gram
             and rhs are psum'd over the tile axis, so every tile solves the
             SAME per-image mixing problem — consensus gamma — while the
             m-slot difference rings stay tile-local (footprint divided by
-            the tile count) and are updated IN PLACE (same ring formulation
-            as the single-chip aa_core, ops/solver.py)."""
+            the tile count) and are updated IN PLACE.  Ring traffic is
+            minimized exactly as in the single-chip aa_core
+            (ops/solver.py): the second ring stores ``dSF = dS + dF``
+            (slot update = difference of consecutive map outputs, and the
+            correction is one ring contraction), and the psum'd Gram is
+            carried and refreshed RANK-1 — one fused probe contraction per
+            iteration yields both the new Gram row/column and the rhs, in
+            one pass over the local ``dF`` ring and ONE psum instead of
+            two."""
             t_s, r_norm = t_map(s)
             f = (t_s - s).reshape(nl, d_loc)
             res = jnp.sqrt(psum_img(jnp.sum(f * f, axis=-1)))
             res0 = jnp.where(res0 < 0, res, res0)
-            s_flat = s.reshape(nl, d_loc)
+            t_flat = t_s.reshape(nl, d_loc)
             idx = (k - 1) % m
-            dS = jax.lax.dynamic_update_slice(
-                dS, (s_flat - s_prev)[None], (idx, 0, 0)
+            new_df = f - f_prev
+            dSF = jax.lax.dynamic_update_slice(
+                dSF, (t_flat - t_prev)[None], (idx, 0, 0)
             )
-            dF = jax.lax.dynamic_update_slice(
-                dF, (f - f_prev)[None], (idx, 0, 0)
-            )
+            dF = jax.lax.dynamic_update_slice(dF, new_df[None], (idx, 0, 0))
             cnt = jnp.where(k >= 1, jnp.minimum(cnt + 1, m), cnt)
             ages = (k - 1 - jnp.arange(m)) % m + 1
             valid = ages[None, :] <= cnt[:, None]  # (nl, m)
@@ -824,42 +830,42 @@ def _tiled_anderson_solve(
             # masked on the tiny psum'd Gram/rhs, not the rings — invalid
             # slots get an exactly-zero gamma through the regularization
             # diagonal, so the raw tile-local rings feed the correction
-            # contractions (same traffic saving as the single-chip aa_core).
+            # contraction (same traffic saving as the single-chip aa_core).
             hi = jax.lax.Precision.HIGHEST
-            gram = jax.lax.psum(
-                jnp.einsum("knd,lnd->nkl", dF, dF, precision=hi), axis_name
+            probe = jnp.stack([new_df, f], axis=1)  # (nl, 2, d_loc)
+            rv = jax.lax.psum(
+                jnp.einsum("knd,njd->nkj", dF, probe, precision=hi), axis_name
             )
-            gram = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
-            gram = gram + aa_reg * (
-                jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None] + 1.0
-            ) * jnp.eye(m, dtype=gram.dtype)
-            rhs = jnp.where(
-                valid,
-                jax.lax.psum(
-                    jnp.einsum("knd,nd->nk", dF, f, precision=hi), axis_name
-                ),
-                0.0,
+            row = rv[:, :, 0]
+            gram = jax.lax.dynamic_update_slice(
+                gram, row[:, None, :], (0, idx, 0)
             )
-            gamma = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
-            s_aa = t_s.reshape(nl, d_loc) - (
-                jnp.einsum("knd,nk->nd", dS, gamma, precision=hi)
-                + jnp.einsum("knd,nk->nd", dF, gamma, precision=hi)
+            gram = jax.lax.dynamic_update_slice(
+                gram, row[:, :, None], (0, 0, idx)
             )
+            g = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
+            g = g + aa_reg * (
+                jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] + 1.0
+            ) * jnp.eye(m, dtype=g.dtype)
+            rhs = jnp.where(valid, rv[:, :, 1], 0.0)
+            gamma = jnp.linalg.solve(g, rhs[..., None])[..., 0]
+            s_aa = t_flat - jnp.einsum("knd,nk->nd", dSF, gamma, precision=hi)
             # Per-image decay safeguard on the psum'd (global) residual; the
             # decision is identical on every tile, as in ops/solver.py.
             bound = safeguard_factor * res0 * (k_acc + 1.0) ** -(1.0 + 1e-6)
             take = (cnt >= 1) & (res <= bound)
             k_acc = jnp.where(take, k_acc + 1.0, k_acc)
             cnt = jnp.where(take, cnt, 0)
-            s_next = jnp.where(take[:, None], s_aa, t_s.reshape(nl, d_loc))
+            s_next = jnp.where(take[:, None], s_aa, t_flat)
             return (
                 s_next.reshape(nl, 4, ht, w),
-                dS, dF, s_flat, f, cnt, k_acc, res0, r_norm, res, t_s,
+                dSF, dF, gram, t_flat, f, cnt, k_acc, res0, r_norm, res, t_s,
             )
 
         res0_init = jnp.full((nl,), -1.0, y_tile.dtype)
         k_acc_init = jnp.zeros((nl,), y_tile.dtype)
         flat0 = jnp.zeros((nl, d_loc), y_tile.dtype)
+        gram0 = jnp.zeros((nl, m, m), y_tile.dtype)
         rho_v = rho
 
         if early_stop:
@@ -871,11 +877,11 @@ def _tiled_anderson_solve(
                 return jnp.logical_and(it < iters - 1, unfinished > 0)
 
             def wbody(carry):
-                (s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res,
-                 it, _done) = carry
-                (s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
-                 t_s) = aa_core(
-                    s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, it
+                (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r,
+                 _res, it, _done) = carry
+                (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+                 res, t_s) = aa_core(
+                    s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, it
                 )
                 dz = _grad2d_adjoint_tiled(
                     t_s[:, 0] - s[:, 0], t_s[:, 1] - s[:, 1], axis_name
@@ -896,35 +902,39 @@ def _tiled_anderson_solve(
                 eps_dual = sqrt_dim * eps_abs + eps_rel * dual_norm
                 done = jnp.logical_and(r_norm <= eps_pri, s_norm <= eps_dual)
                 return (
-                    s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm,
-                    res, it + 1, done,
+                    s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0,
+                    r_norm, res, it + 1, done,
                 )
 
             carry0 = (
-                s0, hist0, hist0, flat0, flat0, jnp.zeros((nl,), jnp.int32),
-                k_acc_init, res0_init, res0_init, res0_init, jnp.asarray(0),
+                s0, hist0, hist0, gram0, flat0, flat0,
+                jnp.zeros((nl,), jnp.int32), k_acc_init, res0_init,
+                res0_init, res0_init, jnp.asarray(0),
                 jnp.zeros((nl,), bool),
             )
             out = jax.lax.while_loop(cond, wbody, carry0)
-            s, r_norm, fp_res, it_fin = out[0], out[8], out[9], out[10]
+            s, r_norm, fp_res, it_fin = out[0], out[9], out[10], out[11]
             iters_run = it_fin + 1
         else:
             def body(carry, k):
-                s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
-                (s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res,
-                 _t) = aa_core(
-                    s, dS, dF, s_prev, f_prev, cnt, k_acc, res0, k
+                (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r,
+                 _res) = carry
+                (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
+                 res, _t) = aa_core(
+                    s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k
                 )
                 return (
-                    s2, dS, dF, s_prev, f_prev, cnt, k_acc, res0, r_norm, res
+                    s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0,
+                    r_norm, res,
                 ), None
 
             carry0 = (
-                s0, hist0, hist0, flat0, flat0, jnp.zeros((nl,), jnp.int32),
-                k_acc_init, res0_init, res0_init, res0_init,
+                s0, hist0, hist0, gram0, flat0, flat0,
+                jnp.zeros((nl,), jnp.int32), k_acc_init, res0_init,
+                res0_init, res0_init,
             )
             out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
-            s, r_norm, fp_res = out[0], out[8], out[9]
+            s, r_norm, fp_res = out[0], out[9], out[10]
             iters_run = jnp.asarray(iters)
         q_fin = _grad2d_adjoint_tiled(
             s[:, 0] - s[:, 2], s[:, 1] - s[:, 3], axis_name

@@ -676,6 +676,22 @@ def tv_deconvolve_adaptive(
     the last two iterations of each block run the 5-plane form so the
     residual check sees the true ``z_prev``/``z`` pair).
 
+    ``fft_mode="fold1"`` (the delta-form bf16x1 DFT) is supported here by
+    re-deriving its hoisted ``x_B = irfft2(C*B)`` each time rho changes —
+    one exact XLA solve per ``check_every`` block — and the returned image
+    gets the fixed-path's final-solve-at-HIGH treatment (same q, HIGH
+    transform).  ``"auto"`` still resolves to **"fold"**: fold1 iterations
+    run ~27% faster (measured 1080p check_every=8: 142.9 vs 112.2 iters/s)
+    but the bf16x1 loop noise perturbs the residuals near a tight stopping
+    threshold — time-to-tolerance at eps 1e-4/1e-3 measured WORSE (56 vs 32
+    iterations to stop; BENCH_SUITE_r3.json ttq_1080p).  Use explicit
+    fold1 for fixed-budget or loose-tolerance adaptive runs where the
+    per-iteration speed dominates — and note the delta-form's accuracy
+    argument assumes the per-iteration correction stays residual-scale:
+    when adaptation drives rho far ABOVE its initial value (tau shrinks,
+    the correction term becomes image-scale), bf16x1 error grows (measured
+    256^2 blocks: rho adapted 0.021 -> 0.5, fold1 ~2.5 dB below fold).
+
     Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
     learned-layer path.
 
@@ -686,12 +702,6 @@ def tv_deconvolve_adaptive(
     prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
-    if fft_mode == "fold1":
-        raise ValueError(
-            "fft_mode='fold1' hoists x_B = irfft2(C*B) out of the loop, which "
-            "requires rho (hence C) fixed for the whole solve; the adaptive "
-            "solver re-balances rho — use 'fold' here"
-        )
     if check_every < 1 or max_iters % check_every != 0:
         raise ValueError(
             f"check_every ({check_every}) must be >= 1 and divide "
@@ -711,25 +721,28 @@ def tv_deconvolve_adaptive(
     sqrt_n = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y_f.dtype))
 
     def cond(carry):
-        state, rho_cur, it, done, _r, _s = carry
+        it, done = carry[2], carry[3]
         return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done)))
 
-    def one_iter(state, rho_cur, tau):
-        """One plain ADMM iteration (no residuals)."""
-        c_spec = _form_cspec(denom_h, lap, rho_cur, fft_mode)
-        x = _x_update(
-            b_f,
-            c_spec,
-            rho_cur,
-            state.zx,
-            state.zy,
-            state.ux,
-            state.uy,
-            h,
-            w,
-            x_bounds,
-            fft_mode,
-        )
+    def solve_ctx(rho_cur):
+        """Per-rho-block spectral solve context ``(b_like, c_like)`` for
+        :func:`_solve_spectral`.  For ``fold1`` this re-derives the
+        delta-form hoist — the exact ``x_B = irfft2(C*B)`` (XLA fp32 FFT)
+        plus the folded ``rho*C`` — each time rho changes, i.e. once per
+        ``check_every`` block, so the bf16x1 delta-form loop matmuls stay
+        valid under adaptive rho (one exact solve amortized over the
+        block)."""
+        if fft_mode == "fold1":
+            return _prepare_delta(b_f, denom_h, lap, rho_cur, h, w)
+        return b_f, _form_cspec(denom_h, lap, rho_cur, fft_mode)
+
+    def one_iter(state, rho_cur, tau, sb, sc):
+        """One plain ADMM iteration (no residuals); also returns the q that
+        produced its x (for the fold1 final-solve-at-HIGH)."""
+        q = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
+        x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
+        if x_bounds is not None:
+            x = jnp.clip(x, x_bounds[0], x_bounds[1])
         dxx, dxy = grad2d(x)
         if alpha != 1.0:
             rxx = alpha * dxx + (1.0 - alpha) * state.zx
@@ -737,7 +750,7 @@ def tv_deconvolve_adaptive(
         else:
             rxx, rxy = dxx, dxy
         zx, zy, ux, uy = prox_step(rxx, rxy, state.ux, state.uy, tau)
-        return ADMMState(x, zx, zy, ux, uy), dxx, dxy
+        return ADMMState(x, zx, zy, ux, uy), dxx, dxy, q
 
     # Fast mid-block eligibility: between residual checks rho is fixed, so
     # the q-carry + fused-stencil loop (the fixed-iteration solver's default
@@ -764,18 +777,18 @@ def tv_deconvolve_adaptive(
             pallas_mode = _PALLAS_PROX_MODES[prox]
 
     def body(carry):
-        state, rho_cur, it, _done, _r, _s = carry
+        state, rho_cur, it, _done, _r, _s, _q, _rho_used = carry
         tau = lam0 / rho_cur
+        sb, sc = solve_ctx(rho_cur)
         # check_every - 1 cheap iterations: rho (and hence c_spec / tau)
         # stays fixed between checks, so no norms are computed.
         if use_fast_mid:
-            c_spec_mid = _form_cspec(denom_h, lap, rho_cur, fft_mode)
             tau_vec = tau[:, 0, 0]
             q0 = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
 
             def mid(carry2, _):
                 q, ux, uy = carry2
-                x = _solve_spectral(b_f, c_spec_mid, rho_cur, q, h, w, fft_mode)
+                x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
                 if x_bounds is not None:
                     x = jnp.clip(x, x_bounds[0], x_bounds[1])
                 q, ux, uy = fused_admm_stencil(x, ux, uy, tau_vec, mode=pallas_mode)
@@ -784,7 +797,7 @@ def tv_deconvolve_adaptive(
             (q, ux, uy), _ = jax.lax.scan(
                 mid, (q0, state.ux, state.uy), None, length=check_every - 2
             )
-            x = _solve_spectral(b_f, c_spec_mid, rho_cur, q, h, w, fft_mode)
+            x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
             if x_bounds is not None:
                 x = jnp.clip(x, x_bounds[0], x_bounds[1])
             dxx, dxy = grad2d(x)
@@ -792,9 +805,9 @@ def tv_deconvolve_adaptive(
             state = ADMMState(x, zx, zy, ux, uy)
         else:
             for _ in range(check_every - 1):
-                state, _, _ = one_iter(state, rho_cur, tau)
+                state, _, _, _ = one_iter(state, rho_cur, tau, sb, sc)
         z_prev_x, z_prev_y = state.zx, state.zy
-        state, dxx, dxy = one_iter(state, rho_cur, tau)
+        state, dxx, dxy, q_x = one_iter(state, rho_cur, tau, sb, sc)
         zx, zy, ux, uy = state.zx, state.zy, state.ux, state.uy
 
         # Per-image residual norms (psum-able across spatial tiles).
@@ -825,7 +838,10 @@ def tv_deconvolve_adaptive(
         else:
             rho_new = rho_cur
 
-        return (state, rho_new, it + check_every, done, r_norm, s_norm)
+        return (
+            state, rho_new, it + check_every, done, r_norm, s_norm, q_x,
+            rho_cur,
+        )
 
     state0 = (
         init_state
@@ -833,8 +849,26 @@ def tv_deconvolve_adaptive(
         else ADMMState(zeros, zeros, zeros, zeros, zeros)
     )
     norms0 = jnp.full((n,), jnp.inf, dtype=y_f.dtype)
-    init = (state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool), norms0, norms0)
-    state, rho_fin, it, done, r_norm, s_norm = jax.lax.while_loop(cond, body, init)
+    init = (
+        state0, rho0, jnp.asarray(0), jnp.zeros((n,), dtype=bool), norms0,
+        norms0, zeros, rho0,
+    )
+    (state, rho_fin, it, done, r_norm, s_norm, q_last,
+     rho_used) = jax.lax.while_loop(cond, body, init)
+
+    if fft_mode == "fold1":
+        # Re-solve the final image at HIGH from the SAME q (and the rho that
+        # produced it) — the loop solves ran bf16x1; this removes the last
+        # transform's low-precision error from the returned image exactly as
+        # the fixed-iteration fast path does.
+        sb, sc = solve_ctx(rho_used)
+        x_hi = _solve_spectral(
+            sb, sc, rho_used, q_last, h, w, fft_mode,
+            precision=jax.lax.Precision.HIGH,
+        )
+        if x_bounds is not None:
+            x_hi = jnp.clip(x_hi, x_bounds[0], x_bounds[1])
+        state = state._replace(x=x_hi)
 
     x = _unfold(state.x, b, c).reshape(orig_shape)
     diags = ADMMDiagnostics(

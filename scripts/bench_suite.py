@@ -271,6 +271,29 @@ def main():
             "s_to_tol": round(t_ad["seconds_per_call"], 4),
         })
 
+        if on_tpu:
+            # Round 3: adaptive + fold1 (delta-form bf16x1 with per-block
+            # x_B re-hoist) — the production configuration.
+            def solve_ad_f1(v):
+                x, d = tv_deconvolve_adaptive(
+                    v, psf=psf, lam=LAM, rho=RHO, max_iters=200,
+                    check_every=8, adapt_rho=True, fft_mode="fold1",
+                    prox_impl=fast_prox, **eps,
+                )
+                return x
+            _, d_f1 = tv_deconvolve_adaptive(
+                y, psf=psf, lam=LAM, rho=RHO, max_iters=200, check_every=8,
+                adapt_rho=True, fft_mode="fold1", prox_impl=fast_prox, **eps,
+            )
+            t_f1 = IterationTimer(
+                solve_ad_f1, lambda i: (y + 1e-4 * i,)
+            ).measure(repeats=3)
+            emit(results, {
+                "bench": tag, "solver": "adaptive(check8,fold1)",
+                "iterations": int(d_f1.iterations),
+                "s_to_tol": round(t_f1["seconds_per_call"], 4),
+            })
+
         # (c) Anderson with early stop at the same tolerances ("fold", not
         # fold1 — the bf16x1 map noise floors AA's convergence).
         aa_fft = "fold" if on_tpu else "xla"
@@ -331,19 +354,25 @@ def main():
         img = jnp.asarray(rng.random((4, 1080, 1920, 3)), jnp.float32)
         psf = motion_psf()
         n_it = 96  # divisible by check_every
-        for impl in ("xla", "pallas"):
-            def solve(v, impl=impl):
+        configs = [("fold" if on_tpu else "xla", "xla"),
+                   ("fold" if on_tpu else "xla", "pallas")]
+        if on_tpu:
+            # Round 3: fold1 under adaptive rho (per-block x_B re-hoist).
+            configs.append(("fold1", "pallas"))
+        for fm, impl in configs:
+            def solve(v, fm=fm, impl=impl):
                 x, _ = tv_deconvolve_adaptive(
                     v, psf=psf, lam=LAM, rho=RHO, max_iters=n_it,
                     check_every=8, eps_abs=0.0, eps_rel=0.0,
-                    fft_mode="fold" if on_tpu else "xla", prox_impl=impl,
+                    fft_mode=fm, prox_impl=impl,
                 )
                 return x
             stats = IterationTimer(
                 solve, lambda i: (img + 1e-3 * i,)
             ).measure(repeats=3)
             emit(results, {
-                "bench": "adaptive_1080p_check8", "prox_impl": impl,
+                "bench": "adaptive_1080p_check8", "path": f"{fm}+{impl}",
+                "prox_impl": impl,
                 "s_per_solve": round(stats["seconds_per_call"], 4),
                 "iters_per_s": round(n_it / stats["seconds_per_call"], 2),
             })

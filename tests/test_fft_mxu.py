@@ -167,10 +167,22 @@ class TestSolverFftModes:
         )(0.05)
         np.testing.assert_allclose(float(g), float(ref), rtol=1e-3)
 
-    def test_fold1_rejected_by_adaptive(self, rng):
-        y = jnp.asarray(rng.random((8, 8)), jnp.float32)
-        with pytest.raises(ValueError, match="fold1"):
-            tv_deconvolve_adaptive(y, None, lam=0.01, fft_mode="fold1")
+    def test_fold1_adaptive_matches_xla(self, rng):
+        """Round 3: the adaptive solver supports fold1 by re-deriving the
+        delta-form x_B hoist once per check_every block (rho is fixed
+        between checks) and finishing with the HIGH-precision re-solve.  On
+        CPU every precision is fp32, so the paths must agree tightly and
+        stop at the same iteration."""
+        y = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+        psf = np.full((3, 3), 1 / 9, np.float32)
+        kw = dict(psf=psf, lam=0.01, rho=0.05, max_iters=24, check_every=4)
+        x_xla, d_xla = tv_deconvolve_adaptive(y, fft_mode="xla", **kw)
+        x_f1, d_f1 = tv_deconvolve_adaptive(y, fft_mode="fold1", **kw)
+        assert int(d_xla.iterations) == int(d_f1.iterations)
+        np.testing.assert_allclose(np.asarray(x_f1), np.asarray(x_xla), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(d_f1.rho), np.asarray(d_xla.rho), rtol=1e-5
+        )
 
     def test_fold_adaptive_matches_xla(self, rng):
         y = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)

@@ -595,9 +595,16 @@ def tiled_tv_deconvolve(
             f"got {fft_mode!r}"
         )
     if fft_mode == "fold1" and adapt_rho:
+        # The single-chip adaptive solver supports fold1 via a per-check-block
+        # x_B re-hoist (ops/solver.py) but measured it slower to tolerance
+        # and accuracy-fragile under strong rho adaptation (BASELINE.md
+        # round 3); the tiled solver keeps the restriction rather than add a
+        # distributed re-hoist for a mode that loses on wall-clock.
         raise ValueError(
-            "fft_mode='fold1' hoists x_B out of the loop, which requires rho "
-            "fixed for the whole solve; use 'fold' with adapt_rho"
+            "tiled fft_mode='fold1' hoists x_B out of the loop, which "
+            "requires rho fixed for the whole tiled solve; use 'fold' with "
+            "adapt_rho (or the single-chip tv_deconvolve_adaptive, which "
+            "supports fold1 explicitly)"
         )
     if mesh is None:
         raise ValueError("tiled_tv_deconvolve requires a mesh")

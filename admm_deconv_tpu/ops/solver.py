@@ -102,10 +102,17 @@ def resolve_fft_mode(fft_mode: str, adaptive: bool = False) -> str:
     """Resolve ``"auto"`` to the fastest mode for the current backend.
 
     On TPU that is the delta-form bf16x1 ``"fold1"`` path (parity-grade, see
-    BASELINE.md), or ``"fold"`` for adaptive-rho solvers (fold1 hoists
-    ``x_B`` out of the loop, which needs rho fixed).  On CPU the native XLA
-    FFT wins (the MXU DFT-by-matmul ladder is a TPU design).  Any explicit
-    mode passes through untouched.
+    BASELINE.md), or ``"fold"`` when ``adaptive=True`` — passed by solvers
+    whose loop cannot carry the delta form safely: Anderson (the bf16x1 map
+    noise floors the extrapolated residuals), the tiled adaptive-rho solver
+    (no distributed per-block ``x_B`` re-hoist), and the single-chip
+    adaptive solver at ``check_every < 4`` (the per-block exact re-hoist
+    would run every block; with blocks that short fold wins — round-4
+    measurement: at ``check_every=8`` fold1 with HIGH-precision check
+    iterations beats fold 0.289 vs 0.311 s to tolerance at 1080p, so the
+    adaptive solver passes ``adaptive=False`` for ``check_every >= 4``).
+    On CPU the native XLA FFT wins (the MXU DFT-by-matmul ladder is a TPU
+    design).  Any explicit mode passes through untouched.
     """
     if fft_mode != "auto":
         return fft_mode
@@ -384,14 +391,6 @@ def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla", precision=None):
     )
 
 
-def _x_update(b_f, c_spec, rho, zx, zy, ux, uy, h, w, x_bounds, fft_mode="xla"):
-    q = grad2d_adjoint(zx - ux, zy - uy)
-    x = _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode)
-    if x_bounds is not None:
-        x = jnp.clip(x, x_bounds[0], x_bounds[1])
-    return x
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -462,15 +461,19 @@ def tv_deconvolve(
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
-    y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
-        y, psf, lam, rho, fft_mode
-    )
-    tau = lam_f / rho_f
-    prox_step = _make_prox_step(prox, prox_impl)
-    if fft_mode == "fold1":
-        b_f, c_spec = _prepare_delta(b_f, denom_h, lap, rho_f, h, w)
-    else:
-        c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
+    # named_scope annotations mark the solver phases in jax.profiler traces
+    # (SURVEY §5.1): capture with `with jax.profiler.trace(logdir): ...` and
+    # the phase names show up on the XLA op metadata in TensorBoard/xprof.
+    with jax.named_scope("admm/precompute"):
+        y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
+            y, psf, lam, rho, fft_mode
+        )
+        tau = lam_f / rho_f
+        prox_step = _make_prox_step(prox, prox_impl)
+        if fft_mode == "fold1":
+            b_f, c_spec = _prepare_delta(b_f, denom_h, lap, rho_f, h, w)
+        else:
+            c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
 
     n = b * c
 
@@ -521,11 +524,15 @@ def tv_deconvolve(
                 q, ux, uy = carry
             else:
                 q, zx_prev, zy_prev, ux, uy = carry
-            x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
-            if x_bounds is not None:
-                x = jnp.clip(x, x_bounds[0], x_bounds[1])
+            with jax.named_scope("admm/x_update"):
+                x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
+                if x_bounds is not None:
+                    x = jnp.clip(x, x_bounds[0], x_bounds[1])
             if alpha == 1.0 and use_pallas_stencil:
-                q, ux, uy = fused_admm_stencil(x, ux, uy, tau_kernel, mode=mode)
+                with jax.named_scope("admm/stencil"):
+                    q, ux, uy = fused_admm_stencil(
+                        x, ux, uy, tau_kernel, mode=mode
+                    )
                 return (q, ux, uy), None
             dxx, dxy = grad2d(x)
             if alpha != 1.0:
@@ -542,17 +549,19 @@ def tv_deconvolve(
         if remat:
             fast_body = jax.checkpoint(fast_body)
 
-        carry, _ = jax.lax.scan(fast_body, carry0, None, length=iters - 1)
+        with jax.named_scope("admm/loop"):
+            carry, _ = jax.lax.scan(fast_body, carry0, None, length=iters - 1)
         q_fin = carry[0]
         # fold1: the one post-loop solve producing the output runs at HIGH —
         # near-free, and it removes the last transform's bf16x1 error from
         # the returned image (loop error lives only in the converged q/u).
         final_prec = jax.lax.Precision.HIGH if fft_mode == "fold1" else None
-        x = _solve_spectral(
-            b_f, c_spec, rho_f, q_fin, h, w, fft_mode, precision=final_prec
-        )
-        if x_bounds is not None:
-            x = jnp.clip(x, x_bounds[0], x_bounds[1])
+        with jax.named_scope("admm/final_solve"):
+            x = _solve_spectral(
+                b_f, c_spec, rho_f, q_fin, h, w, fft_mode, precision=final_prec
+            )
+            if x_bounds is not None:
+                x = jnp.clip(x, x_bounds[0], x_bounds[1])
         return _unfold(x, b, c).reshape(orig_shape)
 
     if init_state is not None:
@@ -674,23 +683,32 @@ def tv_deconvolve_adaptive(
     checks as the q-carry fast loop with the fused one-pass stencil kernel
     (rho is fixed between checks, which is exactly the fast path's regime;
     the last two iterations of each block run the 5-plane form so the
-    residual check sees the true ``z_prev``/``z`` pair).
+    residual check sees the true ``z_prev``/``z`` pair).  Note the k=2
+    corner: the fast mid-loop's scan length is ``check_every - 2 = 0``, so
+    BOTH iterations of every block run the 5-plane residual-capable form —
+    correct, but the q-carry speedup never engages (and under fold1 both
+    solves run at HIGH, erasing the bf16x1 saving).  Use ``check_every >= 4``
+    when the fast mid-loop is the point.
 
     ``fft_mode="fold1"`` (the delta-form bf16x1 DFT) is supported here by
     re-deriving its hoisted ``x_B = irfft2(C*B)`` each time rho changes —
     one exact XLA solve per ``check_every`` block — and the returned image
     gets the fixed-path's final-solve-at-HIGH treatment (same q, HIGH
-    transform).  ``"auto"`` still resolves to **"fold"**: fold1 iterations
-    run ~27% faster (measured 1080p check_every=8: 142.9 vs 112.2 iters/s)
-    but the bf16x1 loop noise perturbs the residuals near a tight stopping
-    threshold — time-to-tolerance at eps 1e-4/1e-3 measured WORSE (56 vs 32
-    iterations to stop; BENCH_SUITE_r3.json ttq_1080p).  Use explicit
-    fold1 for fixed-budget or loose-tolerance adaptive runs where the
-    per-iteration speed dominates — and note the delta-form's accuracy
-    argument assumes the per-iteration correction stays residual-scale:
-    when adaptation drives rho far ABOVE its initial value (tau shrinks,
-    the correction term becomes image-scale), bf16x1 error grows (measured
-    256^2 blocks: rho adapted 0.021 -> 0.5, fold1 ~2.5 dB below fold).
+    transform).  Stopping and rho-adaptation decisions never see bf16x1
+    transform noise: the last TWO iterations of each check block (the ones
+    producing ``z_prev`` and ``z``/``D x`` for the residual norms) run their
+    spectral solves at HIGH, so only the ``check_every - 2`` mid-block
+    iterations pay the low-precision transform (round 3 measured the
+    un-guarded variant stopping at 56 vs 32 iterations from decision noise
+    alone; with the guard both stop at 32 and fold1 reaches tolerance in
+    0.289 s vs fold's 0.311 s at 1080p — BENCH_SUITE_r4).  The guard also
+    repaired round 3's rho-drift accuracy caveat: the HIGH check iterations
+    re-anchor the iterate sequence every block, and the 256^2 blocks
+    rho-adaptation scenario now measures fold1 at 56.08 dB vs fold's
+    55.62 dB (round 3 had fold1 ~2.5 dB BELOW fold).  ``"auto"`` therefore
+    resolves to fold1 when ``check_every >= 4`` (block long enough to
+    amortize the per-block exact re-hoist) and to "fold" below that; the
+    returned ``diag.rho`` still lets callers monitor drift.
 
     Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
     learned-layer path.
@@ -698,14 +716,19 @@ def tv_deconvolve_adaptive(
     Returns ``(x, ADMMDiagnostics)`` where the diagnostics carry the TRUE
     final primal and dual residual norms from the last convergence check.
     """
-    fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
+    # "auto" resolves to fold1 when the block length amortizes the per-block
+    # exact x_B re-hoist (round-4 measurement, see resolve_fft_mode).
+    fft_mode = resolve_fft_mode(fft_mode, adaptive=check_every < 4)
     prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
-    if check_every < 1 or max_iters % check_every != 0:
+    if check_every < 1 or max_iters < check_every or max_iters % check_every != 0:
+        # max_iters >= check_every also rejects max_iters=0, which would
+        # otherwise skip the loop yet still run the fold1 post-loop re-solve
+        # from q=0 (replacing init_state.x with clipped x_B).
         raise ValueError(
             f"check_every ({check_every}) must be >= 1 and divide "
-            f"max_iters ({max_iters})"
+            f"max_iters ({max_iters}), with max_iters >= check_every"
         )
     prox_step = _make_prox_step(prox, prox_impl)
     y = jnp.asarray(y)
@@ -736,11 +759,13 @@ def tv_deconvolve_adaptive(
             return _prepare_delta(b_f, denom_h, lap, rho_cur, h, w)
         return b_f, _form_cspec(denom_h, lap, rho_cur, fft_mode)
 
-    def one_iter(state, rho_cur, tau, sb, sc):
+    def one_iter(state, rho_cur, tau, sb, sc, prec_x=None):
         """One plain ADMM iteration (no residuals); also returns the q that
-        produced its x (for the fold1 final-solve-at-HIGH)."""
+        produced its x (for the fold1 final-solve-at-HIGH).  ``prec_x``
+        overrides the spectral-solve matmul precision (the fold1 residual
+        -check iterations run at HIGH, see ``body``)."""
         q = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
-        x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
+        x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode, precision=prec_x)
         if x_bounds is not None:
             x = jnp.clip(x, x_bounds[0], x_bounds[1])
         dxx, dxy = grad2d(x)
@@ -776,6 +801,15 @@ def tv_deconvolve_adaptive(
         if use_fast_mid:
             pallas_mode = _PALLAS_PROX_MODES[prox]
 
+    # fold1 decision de-noising: stopping / rho adaptation read residuals off
+    # the LAST TWO iterations of each check block (z_prev from iteration k-1,
+    # z and D x from iteration k), so those two spectral solves run at HIGH
+    # (bf16x3, fp32-grade) while the check_every - 2 mid-block iterations
+    # keep the delta-form bf16x1 speed.  Without this, the bf16x1 transform
+    # noise perturbs r/s near a tight stopping threshold and the loop ran
+    # 56 vs 32 iterations to tolerance (round-3 BENCH_SUITE ttq_1080p).
+    check_prec = jax.lax.Precision.HIGH if fft_mode == "fold1" else None
+
     def body(carry):
         state, rho_cur, it, _done, _r, _s, _q, _rho_used = carry
         tau = lam0 / rho_cur
@@ -794,20 +828,29 @@ def tv_deconvolve_adaptive(
                 q, ux, uy = fused_admm_stencil(x, ux, uy, tau_vec, mode=pallas_mode)
                 return (q, ux, uy), None
 
-            (q, ux, uy), _ = jax.lax.scan(
-                mid, (q0, state.ux, state.uy), None, length=check_every - 2
-            )
-            x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
-            if x_bounds is not None:
-                x = jnp.clip(x, x_bounds[0], x_bounds[1])
-            dxx, dxy = grad2d(x)
-            zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, tau)
-            state = ADMMState(x, zx, zy, ux, uy)
+            with jax.named_scope("admm/mid_loop"):
+                (q, ux, uy), _ = jax.lax.scan(
+                    mid, (q0, state.ux, state.uy), None, length=check_every - 2
+                )
+            with jax.named_scope("admm/check_iter"):
+                x = _solve_spectral(
+                    sb, sc, rho_cur, q, h, w, fft_mode, precision=check_prec
+                )
+                if x_bounds is not None:
+                    x = jnp.clip(x, x_bounds[0], x_bounds[1])
+                dxx, dxy = grad2d(x)
+                zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, tau)
+                state = ADMMState(x, zx, zy, ux, uy)
         else:
-            for _ in range(check_every - 1):
-                state, _, _, _ = one_iter(state, rho_cur, tau, sb, sc)
+            for i in range(check_every - 1):
+                state, _, _, _ = one_iter(
+                    state, rho_cur, tau, sb, sc,
+                    prec_x=check_prec if i == check_every - 2 else None,
+                )
         z_prev_x, z_prev_y = state.zx, state.zy
-        state, dxx, dxy, q_x = one_iter(state, rho_cur, tau, sb, sc)
+        state, dxx, dxy, q_x = one_iter(
+            state, rho_cur, tau, sb, sc, prec_x=check_prec
+        )
         zx, zy, ux, uy = state.zx, state.zy, state.ux, state.uy
 
         # Per-image residual norms (psum-able across spatial tiles).
@@ -885,12 +928,16 @@ def tv_deconvolve_adaptive(
 def anderson_history_bytes(
     shape: tuple[int, ...], m: int = 5, itemsize: int = 4
 ) -> int:
-    """HBM footprint of Anderson's two ``(m+1, N, 4*H*W)`` history buffers
-    for an input of the given NHWC (or HW/HWC) shape — budget ``m`` with
-    this before solving large frames (a 3-channel 4K frame at m=5 is
-    ~4.8 GB across both buffers).  For frames where this does not fit, use
-    :func:`admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson`, which
-    shards the histories over the tile mesh axis (footprint / tile count).
+    """HBM footprint of Anderson's history state — two ``(m, N, 4*H*W)``
+    difference rings (``dF`` and ``dSF``) plus two ``(N, 4*H*W)`` snapshot
+    buffers (previous map output / previous residual), i.e.
+    ``2*(m+1)*N*4*H*W`` floats total — for an input of the given NHWC (or
+    HW/HWC) shape.  Budget ``m`` with this before solving large frames (a
+    3-channel 4K frame at m=5 is ~4.8 GB).  For frames where this does not
+    fit, use :func:`admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson`,
+    which shards the rings over the tile mesh axis (footprint / tile
+    count), or let ``tv_deconvolve_anderson(m="auto")`` size the window
+    from the backend's memory.
     """
     if len(shape) == 2:
         n, h, w = 1, *shape
@@ -899,6 +946,29 @@ def anderson_history_bytes(
     else:
         n, h, w = shape[0] * shape[3], shape[1], shape[2]
     return 2 * (m + 1) * n * 4 * h * w * itemsize
+
+
+def _resolve_anderson_m(m, shape) -> int:
+    """Resolve ``m="auto"``: the largest window in [2, 5] whose history
+    state (:func:`anderson_history_bytes`) fits in ~25% of the default
+    device's memory (falling back to one v5e HBM's 16 GB when the backend
+    reports no limit).  m=5 is the measured sweet spot when memory allows;
+    shrinking the window trades a few extra iterations for fitting large
+    frames instead of OOMing."""
+    if m != "auto":
+        return m
+    limit = None
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    except Exception:
+        limit = None
+    if not limit:
+        limit = 16 << 30
+    mm = 5
+    while mm > 2 and anderson_history_bytes(shape, mm) > limit // 4:
+        mm -= 1
+    return mm
 
 
 @functools.partial(
@@ -952,7 +1022,8 @@ def tv_deconvolve_anderson(
     Memory: two ``(m, N, 4*H*W)`` difference rings plus two ``(N, 4*H*W)``
     snapshot buffers (= ``2*(m+1)*N*4*H*W`` floats total) — estimate with
     :func:`anderson_history_bytes` and budget ``m`` accordingly for large
-    frames, or use the tile-sharded
+    frames (``m="auto"`` does this against the device's reported memory
+    limit, see :func:`_resolve_anderson_m`), or use the tile-sharded
     :func:`~admm_deconv_tpu.parallel.tiled_tv_deconvolve_anderson` (history
     divided by the tile count).  ``rho`` is fixed for the whole solve (any
     ``fft_mode`` including ``fold1`` works).  Inference path: not intended
@@ -972,6 +1043,7 @@ def tv_deconvolve_anderson(
     prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
+    m = _resolve_anderson_m(m, jnp.shape(y))
     if m < 1:
         raise ValueError(f"Anderson window m must be >= 1, got {m}")
     if iters < 2:
@@ -1044,7 +1116,8 @@ def tv_deconvolve_anderson(
         form did ~5 full ring reads (measured 17x per-iteration overhead at
         1080p batch-4, BENCH_SUITE_r3.json anderson_1080p_overhead).
         """
-        t, r_norm = t_map(s)
+        with jax.named_scope("admm/aa_map"):
+            t, r_norm = t_map(s)
         f = (t - s).reshape(n, d)
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
         res0 = jnp.where(res0 < 0, res, res0)  # first-iteration residual
@@ -1061,18 +1134,19 @@ def tv_deconvolve_anderson(
         # put ~0.4% relative error on difference-scale Gram/correction
         # terms, which degrades the mixing coefficients at large D.
         hi = jax.lax.Precision.HIGHEST
-        probe = jnp.stack([new_df, f], axis=1)  # (N, 2, D)
-        rv = jnp.einsum("knd,njd->nkj", dF, probe, precision=hi)  # (N, m, 2)
-        row = rv[:, :, 0]  # dF . dF[idx] — the refreshed Gram row/column
-        gram = jax.lax.dynamic_update_slice(gram, row[:, None, :], (0, idx, 0))
-        gram = jax.lax.dynamic_update_slice(gram, row[:, :, None], (0, 0, idx))
-        g = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
-        g = g + aa_reg * (
-            jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] + 1.0
-        ) * jnp.eye(m, dtype=g.dtype)
-        rhs = jnp.where(valid, rv[:, :, 1], 0.0)
-        gamma = jnp.linalg.solve(g, rhs[..., None])[..., 0]  # (N, m)
-        s_aa = t_flat - jnp.einsum("knd,nk->nd", dSF, gamma, precision=hi)
+        with jax.named_scope("admm/aa_mix"):
+            probe = jnp.stack([new_df, f], axis=1)  # (N, 2, D)
+            rv = jnp.einsum("knd,njd->nkj", dF, probe, precision=hi)  # (N, m, 2)
+            row = rv[:, :, 0]  # dF . dF[idx] — the refreshed Gram row/column
+            gram = jax.lax.dynamic_update_slice(gram, row[:, None, :], (0, idx, 0))
+            gram = jax.lax.dynamic_update_slice(gram, row[:, :, None], (0, 0, idx))
+            g = jnp.where(valid[:, :, None] & valid[:, None, :], gram, 0.0)
+            g = g + aa_reg * (
+                jnp.trace(g, axis1=-2, axis2=-1)[:, None, None] + 1.0
+            ) * jnp.eye(m, dtype=g.dtype)
+            rhs = jnp.where(valid, rv[:, :, 1], 0.0)
+            gamma = jnp.linalg.solve(g, rhs[..., None])[..., 0]  # (N, m)
+            s_aa = t_flat - jnp.einsum("knd,nk->nd", dSF, gamma, precision=hi)
 
         # Per-image decay safeguard (no extra T evaluations): while residuals
         # keep decaying, extrapolate; a blow-up falls back to the plain step

@@ -125,25 +125,46 @@ def _dist_rfft2_fold(q, axis_name, wp, prec):
     """Folded MXU variant of :func:`_dist_rfft2` (the multi-chip analogue of
     the single-chip ``fft_mode="fold"`` path, `ops/fft_mxu.py`).
 
-    Local W-direction rFFT as 2 matmuls, two *real* ``all_to_all``s (same
-    bytes as the complex one), then the half-H Hermitian DFT of the two real
-    intermediates as 4 half-height matmuls.  Returns the column-sharded
-    folded spectrum ``(a_re, a_im, b_re, b_im)``, each ``(N, Hf, Wp/T)``.
+    Local W-direction rFFT as 2 matmuls, then the tile re-shard, then the
+    half-H Hermitian DFT of the two real intermediates as 4 half-height
+    matmuls.  Round 4: on a real mesh (T > 1) the re/im pair is stacked on
+    a plane axis and rides ONE ``all_to_all`` — same bytes as two, half the
+    per-iteration collective dispatches (the "fewer, larger collectives"
+    rule; the unpack slices fuse into the H-DFT matmul operand reads).  At
+    T = 1 the all_to_alls are self-sends XLA runs for free, so the stack
+    copy is pure overhead — measured A/B at 1080p-batch-4 shapes: unpacked
+    0.690 vs packed 0.704 ms per re-shard pair — and the unpacked form is
+    kept there.  The re/im pair is NOT packed into one wide GEMM output: a
+    concatenated minor dim (~2*Wf at a W-deep contraction) compiles 100x
+    slower on this backend (CLAUDE.md).  Returns the column-sharded folded
+    spectrum ``(a_re, a_im, b_re, b_im)``, each ``(N, Hf, Wp/T)``.
     """
-    h = q.shape[1] * jax.lax.axis_size(axis_name)
+    t = jax.lax.axis_size(axis_name)
+    h = q.shape[1] * t
     w = q.shape[-1]
     cw, sw = (jnp.asarray(m) for m in _w_fwd(w))
     chf, shf = (jnp.asarray(m) for m in _w_fwd(h))
     re1 = jnp.einsum("nhw,wk->nhk", q, cw, precision=prec)
     im1 = jnp.einsum("nhw,wk->nhk", q, sw, precision=prec)
     wf = re1.shape[-1]
-    pad = ((0, 0), (0, 0), (0, wp - wf))
-    re1 = jax.lax.all_to_all(
-        jnp.pad(re1, pad), axis_name, split_axis=2, concat_axis=1, tiled=True
-    )
-    im1 = jax.lax.all_to_all(
-        jnp.pad(im1, pad), axis_name, split_axis=2, concat_axis=1, tiled=True
-    )
+    if t > 1:
+        pk = jnp.stack([re1, im1], axis=1)  # (N, 2, Ht, Wf)
+        if wp != wf:
+            pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, wp - wf)))
+        pk = jax.lax.all_to_all(
+            pk, axis_name, split_axis=3, concat_axis=2, tiled=True
+        )  # (N, 2, H, Wp/T)
+        re1, im1 = pk[:, 0], pk[:, 1]
+    else:
+        pad = ((0, 0), (0, 0), (0, wp - wf))
+        re1 = jax.lax.all_to_all(
+            jnp.pad(re1, pad), axis_name, split_axis=2, concat_axis=1,
+            tiled=True,
+        )
+        im1 = jax.lax.all_to_all(
+            jnp.pad(im1, pad), axis_name, split_axis=2, concat_axis=1,
+            tiled=True,
+        )
     a_re = jnp.einsum("nhk,hm->nmk", re1, chf, precision=prec)
     a_im = jnp.einsum("nhk,hm->nmk", re1, shf, precision=prec)
     b_re = jnp.einsum("nhk,hm->nmk", im1, chf, precision=prec)
@@ -153,7 +174,10 @@ def _dist_rfft2_fold(q, axis_name, wp, prec):
 
 def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec):
     """Inverse of :func:`_dist_rfft2_fold` from the two half-stored Hermitian
-    H-arguments (see ``spectral_scale_folded``) back to H-tiled real."""
+    H-arguments (see ``spectral_scale_folded``) back to H-tiled real.  The
+    two real H-inverse intermediates ride ONE ``all_to_all`` back to the
+    H-tiled layout when T > 1 (same packing rationale — and same T = 1
+    exception — as the forward)."""
     ah, bh = (jnp.asarray(m) for m in _w_inv(h))
     aw, bw = (jnp.asarray(m) for m in _w_inv(w))
     ar = jnp.einsum("nmk,mh->nhk", pr_re, ah, precision=prec) + jnp.einsum(
@@ -162,11 +186,21 @@ def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec):
     ai = jnp.einsum("nmk,mh->nhk", pi_re, ah, precision=prec) + jnp.einsum(
         "nmk,mh->nhk", pi_im, bh, precision=prec
     )
-    ar = jax.lax.all_to_all(ar, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    ai = jax.lax.all_to_all(ai, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    # Drop the padded (possibly non-finite) frequency columns BEFORE the
-    # column-contracting W-inverse matmul.
-    ar, ai = ar[:, :, :wf], ai[:, :, :wf]
+    if jax.lax.axis_size(axis_name) > 1:
+        pk = jnp.stack([ar, ai], axis=1)  # (N, 2, H, Wp/T)
+        pk = jax.lax.all_to_all(
+            pk, axis_name, split_axis=2, concat_axis=3, tiled=True
+        )  # (N, 2, Ht, Wp)
+        # Drop the padded (possibly non-finite) frequency columns BEFORE
+        # the column-contracting W-inverse matmul.
+        ar, ai = pk[:, 0, :, :wf], pk[:, 1, :, :wf]
+    else:
+        ar = jax.lax.all_to_all(
+            ar, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )[:, :, :wf]
+        ai = jax.lax.all_to_all(
+            ai, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )[:, :, :wf]
     return jnp.einsum("nhk,kw->nhw", ar, aw, precision=prec) + jnp.einsum(
         "nhk,kw->nhw", ai, bw, precision=prec
     )
@@ -267,6 +301,8 @@ def _make_x_from_q(
         "prox_impl",
         "alpha",
         "fast",
+        "check_every",
+        "fast_mid",
     ),
 )
 def _tiled_solve(
@@ -291,6 +327,8 @@ def _tiled_solve(
     prox_impl="xla",
     alpha=1.0,
     fast=False,
+    check_every=1,
+    fast_mid=False,
 ):
     n, h, w = y.shape
     t = mesh.shape[axis_name]
@@ -308,8 +346,20 @@ def _tiled_solve(
     # Pallas prox fusion measured neutral vs XLA's own fusion (round-1
     # result, see CLAUDE.md), and the vma-checked while_loop can't host a
     # Pallas call.  "pallas" buys the fused whole-stencil q-carry fast path
-    # below (`fast=True`).
+    # below (`fast=True`) — and, with ``check_every > 1``, the q-carry +
+    # fused-halo-stencil mid-loop INSIDE the adaptive/early-stop while loop
+    # (`fast_mid=True`, round 4): residual psums and rho adaptation happen
+    # only at block boundaries, exactly like the single-chip adaptive
+    # solver's fast mid-loop (ops/solver.py).
     prox_step = _make_prox_step(prox, "xla")
+    if fast or fast_mid:
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            fused_admm_stencil_halo,
+        )
+
+        pallas_mode = _PALLAS_PROX_MODES[prox]
+    else:
+        fused_admm_stencil_halo = pallas_mode = None
     d_ax = data_axis_name
     in_spec = P(d_ax, axis_name, None)
     img_spec = P(d_ax)  # per-image vectors follow the batch sharding
@@ -343,11 +393,6 @@ def _tiled_solve(
             # tile (neighbor rows via two ppermutes, exchanged ahead of the
             # kernel instead of the jnp path's per-op rolls; same collective
             # count as the jnp composition).
-            from admm_deconv_tpu.ops.pallas.stencil_kernels import (
-                fused_admm_stencil_halo,
-            )
-
-            mode = _PALLAS_PROX_MODES[prox]
             tau_vec = lam / rho  # (nl,) local per-plane threshold
             q0 = _grad2d_adjoint_tiled(
                 state0.zx - state0.ux, state0.zy - state0.uy, axis_name
@@ -359,7 +404,7 @@ def _tiled_solve(
                 x = x_from_q(q, rho_l)
                 halos = _halo_exchange(x, ux, uy, axis_name)
                 q, ux, uy = fused_admm_stencil_halo(
-                    x, ux, uy, *halos, tau_vec, mode=mode
+                    x, ux, uy, *halos, tau_vec, mode=pallas_mode
                 )
                 return (q, ux, uy), None
 
@@ -417,9 +462,13 @@ def _tiled_solve(
         # both mesh axes); per-image quantities (rho, residual norms, done)
         # are tile-REPLICATED consensus values (psum over the tile axis) and
         # vary only over the data axis.  Fresh initializers get pcast to the
-        # data axis so while-loop carry types line up.
+        # data axis so while-loop carry types line up.  (With fast_mid the
+        # Pallas halo kernel forces check_vma=False, so vma tracking — and
+        # the pcast — is off.)
+        vma_on = not (fast or fast_mid)
+
         def varying_data(v):
-            if d_ax is None or d_ax in jax.typeof(v).vma:
+            if d_ax is None or not vma_on or d_ax in jax.typeof(v).vma:
                 return v
             return jax.lax.pcast(v, (d_ax,), to="varying")
 
@@ -458,11 +507,48 @@ def _tiled_solve(
         # the q that produced state.x so one post-loop HIGH re-solve can
         # replace the returned image (same q, better transform precision) —
         # the documented final-solve-at-HIGH behavior, matching the
-        # single-chip solver's track_q path (ops/solver.py).
+        # single-chip solver's track_q path (ops/solver.py).  fold1's
+        # residual-CHECK iterations (the last two of each block) also run
+        # at HIGH so stopping decisions never see bf16x1 transform noise
+        # (ops/solver.py round-4; tiled fold1 requires early_stop without
+        # adapt_rho, where the same argument applies).
+        check_prec = jax.lax.Precision.HIGH if delta else prec
+
         def body(carry):
             state, rho_c, it = carry[0], carry[1], carry[2]
+            # check_every - 1 cheap iterations: rho (hence c_spec / tau) is
+            # fixed between checks and no residual psums are issued.
+            if fast_mid:
+                tau_vec = (lam_l / rho_c)[:, 0, 0]
+                q0 = _grad2d_adjoint_tiled(
+                    state.zx - state.ux, state.zy - state.uy, axis_name
+                )
+
+                def mid(carry2, _):
+                    q, ux, uy = carry2
+                    x = x_from_q(q, rho_c)
+                    halos = _halo_exchange(x, ux, uy, axis_name)
+                    q, ux, uy = fused_admm_stencil_halo(
+                        x, ux, uy, *halos, tau_vec, mode=pallas_mode
+                    )
+                    return (q, ux, uy), None
+
+                (q, ux, uy), _ = jax.lax.scan(
+                    mid, (q0, state.ux, state.uy), None,
+                    length=check_every - 2,
+                )
+                x = x_from_q(q, rho_c, check_prec)
+                dxx, dxy = _grad2d_tiled(x, axis_name)
+                zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, lam_l / rho_c)
+                state = ADMMState(x, zx, zy, ux, uy)
+            else:
+                for i in range(check_every - 1):
+                    state, _, _, _ = one_iter(
+                        state, rho_c,
+                        prec_x=check_prec if i == check_every - 2 else prec,
+                    )
             z_prev_x, z_prev_y = state.zx, state.zy
-            state, dxx, dxy, q_used = one_iter(state, rho_c)
+            state, dxx, dxy, q_used = one_iter(state, rho_c, prec_x=check_prec)
             r_norm, s_norm, done = residuals(
                 state, z_prev_x, z_prev_y, dxx, dxy, rho_c
             )
@@ -480,7 +566,7 @@ def _tiled_solve(
                 state = ADMMState(
                     state.x, state.zx, state.zy, state.ux / factor, state.uy / factor
                 )
-            out = (state, rho_c, it + 1, done, r_norm, s_norm)
+            out = (state, rho_c, it + check_every, done, r_norm, s_norm)
             return out + (q_used,) if delta else out
 
         norms0 = varying_data(jnp.full((nl,), jnp.inf, dtype=y.dtype))
@@ -513,15 +599,16 @@ def _tiled_solve(
         if fast
         else (in_spec, img_spec, img_spec, img_spec, img_spec, state_spec)
     )
-    # The fast path's Pallas kernel can't be vma-annotated internally
-    # (check_vma trips on kernel-body slicing in interpret mode); it has no
-    # mixed-initializer while_loop, so the vma discipline buys nothing there.
+    # The fast/fast_mid paths' Pallas kernel can't be vma-annotated
+    # internally (check_vma trips on kernel-body slicing in interpret mode);
+    # with it in play the vma discipline is disabled and the explicit psums
+    # carry the consensus guarantees instead.
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(in_spec, rep, rep, img_spec, img_spec, state_spec),
         out_specs=out_specs,
-        check_vma=not fast,
+        check_vma=not (fast or fast_mid),
     )(y, lap_full, otf_full, lam, rho, state0)
 
 
@@ -537,6 +624,7 @@ def tiled_tv_deconvolve(
     early_stop: bool = False,
     eps_abs: float = 1e-4,
     eps_rel: float = 1e-3,
+    check_every: int = 1,
     mesh: Mesh | None = None,
     axis_name: str = "tile",
     data_axis_name: str | None = None,
@@ -560,6 +648,15 @@ def tiled_tv_deconvolve(
       adapt_rho: per-image residual-balanced rho (consensus via tile-psum).
       early_stop: Boyd-style stopping on the psum'd per-image residuals
         (``iters`` becomes the max); implies the ``lax.while_loop`` path.
+      check_every: with ``early_stop``/``adapt_rho``, compute the psum'd
+        residual norms / stopping / rho adaptation only every k-th
+        iteration (``iters`` must divide evenly) — the distributed twin of
+        the single-chip adaptive solver's block checking.  Between checks
+        rho is fixed, so with ``prox_impl="pallas"`` the ``check_every - 2``
+        mid-block iterations run the q-carry + fused-halo-stencil fast loop
+        with NO collective beyond the two halo ppermutes and the x-update's
+        two ``all_to_all``s (no per-iteration residual psum).  k=1 (default)
+        checks every iteration; ignored by the fixed-iteration scan path.
       data_axis_name: optional second mesh axis sharding the folded
         batch*channel axis — BASELINE config 5's multi-frame tiled case
         (``B*C`` must divide by its size).
@@ -673,6 +770,34 @@ def tiled_tv_deconvolve(
             is not None
         )
 
+    # Block-checked adaptive/early-stop path (round 4): validate the cadence
+    # and decide fast-mid eligibility (mirrors the single-chip use_fast_mid
+    # gate, ops/solver.py).
+    uses_while = early_stop or adapt_rho
+    if check_every < 1 or (
+        uses_while
+        and (iters < check_every or iters % check_every != 0)
+    ):
+        raise ValueError(
+            f"check_every ({check_every}) must be >= 1 and divide "
+            f"iters ({iters}), with iters >= check_every"
+        )
+    fast_mid = (
+        uses_while
+        and check_every > 1
+        and alpha == 1.0
+        and prox_impl == "pallas"
+        and isinstance(prox, str)
+        and prox in _PALLAS_PROX_MODES
+    )
+    if fast_mid:
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import _pick_block_rows
+
+        fast_mid = (
+            _pick_block_rows(h // t, w, jnp.dtype(y_f.dtype).itemsize)
+            is not None
+        )
+
     result = _tiled_solve(
         y_f,
         psf_arr,
@@ -693,6 +818,8 @@ def tiled_tv_deconvolve(
         prox_impl=prox_impl,
         alpha=alpha,
         fast=fast,
+        check_every=check_every,
+        fast_mid=fast_mid,
     )
     if fast:
         x = result

@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--tiled", action="store_true",
                     help="tiled solver on a tile=1 mesh vs the single-chip "
                          "fast path: shard_map overhead quantification")
+    ap.add_argument("--tiled-adaptive", dest="tiled_adaptive", action="store_true",
+                    help="tiled adaptive/early-stop solver with check_every=8 "
+                         "block checking on a tile=1 mesh (round-4 fast mid-loop)")
     ap.add_argument("--ttq", action="store_true",
                     help="time-to-tolerance: plain fixed vs adaptive vs "
                          "Anderson at 1080p (honest wall-clock comparison)")
@@ -224,6 +227,45 @@ def main():
                 "bench": "tiled_tile1_1080p", "path": f"{fm}+{fast_prox}",
                 "s_per_solve": round(stats["seconds_per_call"], 4),
                 "iters_per_s": round(ITERS / stats["seconds_per_call"], 2),
+            })
+
+    if args.tiled_adaptive:
+        # Round-4 (VERDICT missing #1): the tiled adaptive/early-stop path
+        # with block checking — residual psums and rho adaptation only at
+        # check_every boundaries, the mid-block iterations on the q-carry +
+        # fused-halo-stencil fast loop.  tile=1 mesh, tolerances zeroed so
+        # every config runs exactly n_it iterations; the single-chip
+        # adaptive check8 numbers (--adaptive-fast) are the comparators.
+        from admm_deconv_tpu.parallel import make_mesh, tiled_tv_deconvolve
+
+        mesh1 = make_mesh({"tile": 1})
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((4, 1080, 1920, 3)), jnp.float32)
+        psf = motion_psf()
+        n_it = 96
+        configs = [
+            # (fft_mode, adapt_rho) — fold1 requires fixed rho in the tiled
+            # solver (no distributed per-block x_B re-hoist).
+            ("fold" if on_tpu else "xla", True),
+            ("fold1" if on_tpu else "xla", False),
+        ]
+        for fm, adapt in configs:
+            def tsolve(v, fm=fm, adapt=adapt):
+                x, _ = tiled_tv_deconvolve(
+                    v, psf=psf, lam=LAM, rho=RHO, iters=n_it, mesh=mesh1,
+                    adapt_rho=adapt, early_stop=True, check_every=8,
+                    eps_abs=0.0, eps_rel=0.0, fft_mode=fm,
+                    prox_impl=fast_prox, return_diagnostics=True,
+                )
+                return x
+            stats = IterationTimer(
+                tsolve, lambda i: (img + 1e-3 * i,)
+            ).measure(repeats=3)
+            emit(results, {
+                "bench": "tiled_adaptive_tile1_1080p_check8",
+                "path": f"{fm}+{fast_prox}", "adapt_rho": adapt,
+                "s_per_solve": round(stats["seconds_per_call"], 4),
+                "iters_per_s": round(n_it / stats["seconds_per_call"], 2),
             })
 
     def run_ttq(tag, tile_grid, tile_px):

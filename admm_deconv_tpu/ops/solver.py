@@ -975,7 +975,7 @@ def _resolve_anderson_m(m, shape) -> int:
     jax.jit,
     static_argnames=(
         "iters", "prox", "x_bounds", "m", "fft_mode", "prox_impl",
-        "early_stop",
+        "early_stop", "aa_interval",
     ),
 )
 def tv_deconvolve_anderson(
@@ -992,6 +992,7 @@ def tv_deconvolve_anderson(
     early_stop: bool = False,
     eps_abs: float = 1e-4,
     eps_rel: float = 1e-3,
+    aa_interval: int = 1,
     fft_mode: str = "auto",
     prox_impl: str = "auto",
 ):
@@ -1018,6 +1019,17 @@ def tv_deconvolve_anderson(
     ``eps_rel``, same criteria as :func:`tv_deconvolve_adaptive`) via
     ``lax.while_loop`` with ``iters`` as the cap — the accelerated sequence
     simply reaches the tolerance in fewer iterations.
+
+    ``aa_interval=k > 1`` applies the extrapolation to ``G = T^k`` — one
+    ring write, rank-1 Gram refresh, and mixing per k ADMM iterations
+    instead of per iteration (round 4, VERDICT missing #4: AA's wall-clock
+    cost at 1080p+ is the per-iteration history machinery).  The k-2
+    leading iterations of each block run the q-carry + fused-stencil fast
+    loop (z never materializes; rho fixed makes it exact — the same block
+    structure as the adaptive solver's ``check_every``), the last two run
+    the 5-plane form so the dual residual sees a true consecutive-z pair.
+    Plain Anderson theory applies unchanged to the composed map;
+    ``(iters - 1)`` must divide by ``aa_interval``.
 
     Memory: two ``(m, N, 4*H*W)`` difference rings plus two ``(N, 4*H*W)``
     snapshot buffers (= ``2*(m+1)*N*4*H*W`` floats total) — estimate with
@@ -1048,6 +1060,11 @@ def tv_deconvolve_anderson(
         raise ValueError(f"Anderson window m must be >= 1, got {m}")
     if iters < 2:
         raise ValueError("tv_deconvolve_anderson needs iters >= 2")
+    if aa_interval < 1 or (iters - 1) % aa_interval != 0:
+        raise ValueError(
+            f"aa_interval ({aa_interval}) must be >= 1 and divide "
+            f"iters - 1 ({iters - 1})"
+        )
     y = jnp.asarray(y)
     _, orig_shape = _normalize_input(y)
     y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c) = _prepare(
@@ -1075,6 +1092,81 @@ def tv_deconvolve_anderson(
             jnp.sum((dxx - zx2) ** 2 + (dxy - zy2) ** 2, axis=(-2, -1))
         )
         return jnp.stack([zx2, zy2, ux2, uy2], axis=1), r
+
+    # Every-k mixing: the extrapolated map is G = T^aa_interval.  The k-2
+    # leading steps of each block run the q-carry + fused-stencil fast loop
+    # when eligible (mirrors the fixed solver's fast-path gate); the last
+    # two materialize z so the caller gets a true consecutive (z_prev, z)
+    # pair for the dual residual.
+    use_fast_inner = False
+    if aa_interval > 2:
+        tau_kernel = _tau_for_pallas(tau)
+        use_fast_inner = (
+            prox_impl == "pallas"
+            and isinstance(prox, str)
+            and prox in _PALLAS_PROX_MODES
+            and tau_kernel is not None
+        )
+        if use_fast_inner:
+            from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+                _pick_block_rows,
+                fused_admm_stencil,
+            )
+
+            use_fast_inner = (
+                _pick_block_rows(h, w, jnp.dtype(y_f.dtype).itemsize)
+                is not None
+            )
+            if use_fast_inner:
+                inner_mode = _PALLAS_PROX_MODES[prox]
+
+    def one_step(zx, zy, ux, uy):
+        q = grad2d_adjoint(zx - ux, zy - uy)
+        x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
+        if x_bounds is not None:
+            x = jnp.clip(x, x_bounds[0], x_bounds[1])
+        dxx, dxy = grad2d(x)
+        zx2, zy2, ux2, uy2 = prox_step(dxx, dxy, ux, uy, tau)
+        return zx2, zy2, ux2, uy2, dxx, dxy
+
+    def g_map(s):
+        """G(s) = T^k(s) -> (s', r_norm_of_last_step, z_prev pair)."""
+        zx, zy, ux, uy = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+        if aa_interval == 1:
+            t, r = t_map(s)
+            return t, r, zx, zy
+        if use_fast_inner:
+            q0 = grad2d_adjoint(zx - ux, zy - uy)
+
+            def inner(c, _):
+                q, ux_c, uy_c = c
+                x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
+                if x_bounds is not None:
+                    x = jnp.clip(x, x_bounds[0], x_bounds[1])
+                q, ux_c, uy_c = fused_admm_stencil(
+                    x, ux_c, uy_c, tau_kernel, mode=inner_mode
+                )
+                return (q, ux_c, uy_c), None
+
+            (q, ux, uy), _ = jax.lax.scan(
+                inner, (q0, ux, uy), None, length=aa_interval - 2
+            )
+            # Rematerialize z for the penultimate step: one 5-plane step
+            # from the (q, u) carry.
+            x = _solve_spectral(b_f, c_spec, rho_f, q, h, w, fft_mode)
+            if x_bounds is not None:
+                x = jnp.clip(x, x_bounds[0], x_bounds[1])
+            dxx, dxy = grad2d(x)
+            zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, tau)
+        else:
+            for _ in range(aa_interval - 1):
+                zx, zy, ux, uy, _, _ = one_step(zx, zy, ux, uy)
+        zpx, zpy = zx, zy
+        zx, zy, ux, uy, dxx, dxy = one_step(zx, zy, ux, uy)
+        r = jnp.sqrt(
+            jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1))
+        )
+        return jnp.stack([zx, zy, ux, uy], axis=1), r, zpx, zpy
 
     s0 = jnp.zeros((n, 4, h, w), dtype=y_f.dtype)
     hist0 = jnp.zeros((m, n, d), dtype=y_f.dtype)
@@ -1117,7 +1209,7 @@ def tv_deconvolve_anderson(
         1080p batch-4, BENCH_SUITE_r3.json anderson_1080p_overhead).
         """
         with jax.named_scope("admm/aa_map"):
-            t, r_norm = t_map(s)
+            t, r_norm, zpx, zpy = g_map(s)
         f = (t - s).reshape(n, d)
         res = jnp.linalg.norm(f, axis=-1)  # (N,)
         res0 = jnp.where(res0 < 0, res, res0)  # first-iteration residual
@@ -1160,7 +1252,7 @@ def tv_deconvolve_anderson(
         s_next = jnp.where(take[:, None], s_aa, t_flat)
         return (
             s_next.reshape(n, 4, h, w), dSF, dF, gram, t_flat, f, cnt, k_acc,
-            res0, r_norm, res, t,
+            res0, r_norm, res, t, zpx, zpy,
         )
 
     res0_init = jnp.full((n,), -1.0, dtype=y_f.dtype)
@@ -1174,20 +1266,22 @@ def tv_deconvolve_anderson(
         sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y_f.dtype))
         rho_v = jnp.broadcast_to(jnp.squeeze(rho_f), (n,)).astype(y_f.dtype)
 
+        outer_cap = (iters - 1) // aa_interval
+
         def cond(carry):
             it, done = carry[-2], carry[-1]
             return jnp.logical_and(
-                it < iters - 1, jnp.logical_not(jnp.all(done))
+                it < outer_cap, jnp.logical_not(jnp.all(done))
             )
 
         def wbody(carry):
             (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r, _res,
              it, _done) = carry
             (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
-             res, t) = aa_core(
+             res, t, zpx, zpy) = aa_core(
                 s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, it
             )
-            dz = grad2d_adjoint(t[:, 0] - s[:, 0], t[:, 1] - s[:, 1])
+            dz = grad2d_adjoint(t[:, 0] - zpx, t[:, 1] - zpy)
             s_norm = rho_v * jnp.sqrt(jnp.sum(dz * dz, axis=(-2, -1)))
             z_norm = jnp.sqrt(jnp.sum(t[:, 0] ** 2 + t[:, 1] ** 2, axis=(-2, -1)))
             dual = grad2d_adjoint(t[:, 2], t[:, 3])
@@ -1209,12 +1303,12 @@ def tv_deconvolve_anderson(
         )
         out = jax.lax.while_loop(cond, wbody, carry0)
         s, r_norm, fp_res, it_fin = out[0], out[9], out[10], out[11]
-        iters_run = it_fin + 1  # + the final output solve below
+        iters_run = it_fin * aa_interval + 1  # + the final output solve below
     else:
         def body(carry, k):
             s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r, _res = carry
             (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
-             res, _t) = aa_core(
+             res, _t, _zpx, _zpy) = aa_core(
                 s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k
             )
             return (
@@ -1228,7 +1322,9 @@ def tv_deconvolve_anderson(
             s0, hist0, hist0, gram0, flat0, flat0, jnp.zeros((n,), jnp.int32),
             k_acc_init, res0_init, res0_init, res0_init,
         )
-        out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
+        out, _ = jax.lax.scan(
+            body, carry0, jnp.arange((iters - 1) // aa_interval)
+        )
         s, r_norm, fp_res = out[0], out[9], out[10]
         iters_run = jnp.asarray(iters)
     # One final solve produces the output image from the accelerated state —

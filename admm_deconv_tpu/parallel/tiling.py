@@ -854,6 +854,8 @@ def tiled_tv_deconvolve(
         "axis_name",
         "data_axis_name",
         "fft_mode",
+        "aa_interval",
+        "prox_impl",
     ),
 )
 def _tiled_anderson_solve(
@@ -874,6 +876,8 @@ def _tiled_anderson_solve(
     axis_name,
     data_axis_name,
     fft_mode,
+    aa_interval=1,
+    prox_impl="xla",
 ):
     n, h, w = y.shape
     t = mesh.shape[axis_name]
@@ -897,6 +901,28 @@ def _tiled_anderson_solve(
     else:
         prec = jax.lax.Precision.HIGHEST
     sqrt_dim = jnp.sqrt(jnp.asarray(2.0 * h * w, dtype=y.dtype))
+
+    # Every-k mixing fast inner loop (mirrors the single-chip g_map,
+    # ops/solver.py): the k-2 leading steps of each block run the q-carry +
+    # fused-halo-stencil kernel.
+    use_fast_inner = False
+    if (
+        aa_interval > 2
+        and prox_impl == "pallas"
+        and isinstance(prox, str)
+        and prox in _PALLAS_PROX_MODES
+    ):
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            _pick_block_rows,
+            fused_admm_stencil_halo,
+        )
+
+        use_fast_inner = (
+            _pick_block_rows(h // t, w, jnp.dtype(y.dtype).itemsize)
+            is not None
+        )
+        if use_fast_inner:
+            pallas_mode = _PALLAS_PROX_MODES[prox]
 
     def tile_fn(y_tile, lap_full, otf_full, lam, rho):
         nl, ht = y_tile.shape[0], y_tile.shape[1]
@@ -928,6 +954,55 @@ def _tiled_anderson_solve(
             )
             return jnp.stack([zx2, zy2, ux2, uy2], axis=1), r
 
+        def one_step(zx, zy, ux, uy):
+            q = _grad2d_adjoint_tiled(zx - ux, zy - uy, axis_name)
+            x = x_from_q(q, rho_l)
+            dxx, dxy = _grad2d_tiled(x, axis_name)
+            zx2, zy2, ux2, uy2 = prox_lib.prox_dual_step(
+                dxx, dxy, ux, uy, tau, prox_fn
+            )
+            return zx2, zy2, ux2, uy2, dxx, dxy
+
+        def g_map(s):
+            """G = T^aa_interval -> (G(s), r_norm, consecutive z_prev pair);
+            the distributed twin of the single-chip g_map."""
+            zx, zy, ux, uy = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            if aa_interval == 1:
+                t_s, r = t_map(s)
+                return t_s, r, zx, zy
+            if use_fast_inner:
+                q0 = _grad2d_adjoint_tiled(zx - ux, zy - uy, axis_name)
+                tau_vec = lam / rho  # (nl,)
+
+                def inner(c, _):
+                    q, ux_c, uy_c = c
+                    x = x_from_q(q, rho_l)
+                    halos = _halo_exchange(x, ux_c, uy_c, axis_name)
+                    q, ux_c, uy_c = fused_admm_stencil_halo(
+                        x, ux_c, uy_c, *halos, tau_vec, mode=pallas_mode
+                    )
+                    return (q, ux_c, uy_c), None
+
+                (q, ux, uy), _ = jax.lax.scan(
+                    inner, (q0, ux, uy), None, length=aa_interval - 2
+                )
+                x = x_from_q(q, rho_l)
+                dxx, dxy = _grad2d_tiled(x, axis_name)
+                zx, zy, ux, uy = prox_lib.prox_dual_step(
+                    dxx, dxy, ux, uy, tau, prox_fn
+                )
+            else:
+                for _ in range(aa_interval - 1):
+                    zx, zy, ux, uy, _, _ = one_step(zx, zy, ux, uy)
+            zpx, zpy = zx, zy
+            zx, zy, ux, uy, dxx, dxy = one_step(zx, zy, ux, uy)
+            r = jnp.sqrt(
+                psum_img(
+                    jnp.sum((dxx - zx) ** 2 + (dxy - zy) ** 2, axis=(-2, -1))
+                )
+            )
+            return jnp.stack([zx, zy, ux, uy], axis=1), r, zpx, zpy
+
         s0 = jnp.zeros((nl, 4, ht, w), y_tile.dtype)
         hist0 = jnp.zeros((m, nl, d_loc), y_tile.dtype)
 
@@ -945,7 +1020,7 @@ def _tiled_anderson_solve(
             iteration yields both the new Gram row/column and the rhs, in
             one pass over the local ``dF`` ring and ONE psum instead of
             two."""
-            t_s, r_norm = t_map(s)
+            t_s, r_norm, zpx, zpy = g_map(s)
             f = (t_s - s).reshape(nl, d_loc)
             res = jnp.sqrt(psum_img(jnp.sum(f * f, axis=-1)))
             res0 = jnp.where(res0 < 0, res, res0)
@@ -992,8 +1067,8 @@ def _tiled_anderson_solve(
             cnt = jnp.where(take, cnt, 0)
             s_next = jnp.where(take[:, None], s_aa, t_flat)
             return (
-                s_next.reshape(nl, 4, ht, w),
-                dSF, dF, gram, t_flat, f, cnt, k_acc, res0, r_norm, res, t_s,
+                s_next.reshape(nl, 4, ht, w), dSF, dF, gram, t_flat, f, cnt,
+                k_acc, res0, r_norm, res, t_s, zpx, zpy,
             )
 
         res0_init = jnp.full((nl,), -1.0, y_tile.dtype)
@@ -1008,17 +1083,19 @@ def _tiled_anderson_solve(
                 unfinished = jnp.sum(jnp.logical_not(done).astype(jnp.int32))
                 if d_ax is not None:
                     unfinished = jax.lax.psum(unfinished, d_ax)
-                return jnp.logical_and(it < iters - 1, unfinished > 0)
+                return jnp.logical_and(
+                    it < (iters - 1) // aa_interval, unfinished > 0
+                )
 
             def wbody(carry):
                 (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r,
                  _res, it, _done) = carry
                 (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
-                 res, t_s) = aa_core(
+                 res, t_s, zpx, zpy) = aa_core(
                     s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, it
                 )
                 dz = _grad2d_adjoint_tiled(
-                    t_s[:, 0] - s[:, 0], t_s[:, 1] - s[:, 1], axis_name
+                    t_s[:, 0] - zpx, t_s[:, 1] - zpy, axis_name
                 )
                 s_norm = rho_v * jnp.sqrt(
                     psum_img(jnp.sum(dz * dz, axis=(-2, -1)))
@@ -1048,13 +1125,13 @@ def _tiled_anderson_solve(
             )
             out = jax.lax.while_loop(cond, wbody, carry0)
             s, r_norm, fp_res, it_fin = out[0], out[9], out[10], out[11]
-            iters_run = it_fin + 1
+            iters_run = it_fin * aa_interval + 1
         else:
             def body(carry, k):
                 (s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, _r,
                  _res) = carry
                 (s2, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, r_norm,
-                 res, _t) = aa_core(
+                 res, _t, _zpx, _zpy) = aa_core(
                     s, dSF, dF, gram, t_prev, f_prev, cnt, k_acc, res0, k
                 )
                 return (
@@ -1067,7 +1144,9 @@ def _tiled_anderson_solve(
                 jnp.zeros((nl,), jnp.int32), k_acc_init, res0_init,
                 res0_init, res0_init,
             )
-            out, _ = jax.lax.scan(body, carry0, jnp.arange(iters - 1))
+            out, _ = jax.lax.scan(
+                body, carry0, jnp.arange((iters - 1) // aa_interval)
+            )
             s, r_norm, fp_res = out[0], out[9], out[10]
             iters_run = jnp.asarray(iters)
         q_fin = _grad2d_adjoint_tiled(
@@ -1104,10 +1183,12 @@ def tiled_tv_deconvolve_anderson(
     early_stop: bool = False,
     eps_abs: float = 1e-4,
     eps_rel: float = 1e-3,
+    aa_interval: int = 1,
     mesh: Mesh | None = None,
     axis_name: str = "tile",
     data_axis_name: str | None = None,
     fft_mode: str = "auto",
+    prox_impl: str = "auto",
 ):
     """Anderson-accelerated ADMM with the image H axis sharded over ``mesh``.
 
@@ -1127,9 +1208,14 @@ def tiled_tv_deconvolve_anderson(
 
     ``fft_mode="auto"`` resolves to "fold" (not fold1): AA needs a low-noise
     fixed-point map — see :func:`admm_deconv_tpu.ops.solver.
-    tv_deconvolve_anderson`.
+    tv_deconvolve_anderson`.  ``aa_interval=k > 1`` extrapolates ``G = T^k``
+    (one sharded ring write / psum'd Gram refresh per k distributed
+    iterations; with ``prox_impl="pallas"`` the leading k-2 steps of each
+    block run the fused-halo-stencil q-carry loop) — the same every-k
+    mixing as the single-chip solver.
     """
     fft_mode = resolve_fft_mode(fft_mode, adaptive=True)
+    prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in ("xla", "fold", "fold1", "fold_precise"):
         raise ValueError(
             f"tiled solver fft_mode must be xla/fold/fold1/fold_precise, "
@@ -1141,6 +1227,11 @@ def tiled_tv_deconvolve_anderson(
         raise ValueError(f"Anderson window m must be >= 1, got {m}")
     if iters < 2:
         raise ValueError("tiled_tv_deconvolve_anderson needs iters >= 2")
+    if aa_interval < 1 or (iters - 1) % aa_interval != 0:
+        raise ValueError(
+            f"aa_interval ({aa_interval}) must be >= 1 and divide "
+            f"iters - 1 ({iters - 1})"
+        )
     y = jnp.asarray(y)
     orig_shape = y.shape
     if y.ndim == 2:
@@ -1195,6 +1286,8 @@ def tiled_tv_deconvolve_anderson(
         axis_name,
         data_axis_name,
         fft_mode,
+        aa_interval=aa_interval,
+        prox_impl=prox_impl,
     )
     x = jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
     diags = ADMMDiagnostics(

@@ -31,7 +31,11 @@ from admm_deconv_tpu.ops.solver import tv_deconvolve
 BASELINE_ITERS_PER_S = 45.9
 # Round-2 fast-path measurements (BASELINE.md) for the secondary metrics.
 BASELINE_4K_ITERS_PER_S = 148.0
-BASELINE_TRAIN_MS = 85.5
+# Train-step baseline pinned at round 2's FAST-MODE measurement (81.7 ms,
+# AdmmDenoiser with fold1+pallas solver modes) — not the 85.5 ms default-mode
+# figure — so vs_baseline measures progress, not mode selection (VERDICT
+# round-3 weak #4).
+BASELINE_TRAIN_MS = 81.7
 
 BATCH, H, W, C = 4, 1080, 1920, 3
 ITERS = 50

@@ -587,6 +587,40 @@ class TestTiledAnderson:
             atol=1e-6,
         )
 
+    def test_interval_mixing_matches_single_chip(self, rng, mesh8):
+        """Round 4: every-k mixing on the tiled solver (one sharded ring
+        write / psum'd Gram refresh per k iterations, fused-halo-stencil
+        fast inner loop) must reproduce the single-chip aa_interval path."""
+        from admm_deconv_tpu.ops.solver import tv_deconvolve_anderson
+        from admm_deconv_tpu.parallel import tiled_tv_deconvolve_anderson
+
+        y = jnp.asarray(_img(rng))
+        psf = np.zeros((5, 5), np.float32)
+        psf[2, :] = 0.2
+        kw = dict(psf=psf, lam=0.01, rho=0.05, iters=29, m=5, aa_interval=4)
+        x_ref, d_ref = tv_deconvolve_anderson(y, prox_impl="pallas", **kw)
+        x_t, d_t = tiled_tv_deconvolve_anderson(
+            y, mesh=mesh8, prox_impl="pallas", **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_t), np.asarray(x_ref), rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_t.s_norm), np.asarray(d_ref.s_norm), rtol=1e-3,
+            atol=1e-6,
+        )
+        # Early stop + interval on the tiled path runs and stops early.
+        x_e, d_e = tiled_tv_deconvolve_anderson(
+            y, psf=psf, lam=0.01, rho=0.05, iters=201, m=5, aa_interval=4,
+            early_stop=True, mesh=mesh8, prox_impl="pallas",
+        )
+        assert int(d_e.iterations) < 201
+        assert bool(jnp.all(jnp.isfinite(x_e)))
+        with pytest.raises(ValueError, match="aa_interval"):
+            tiled_tv_deconvolve_anderson(
+                y, psf=psf, iters=30, aa_interval=4, mesh=mesh8
+            )
+
     def test_early_stop_matches(self, rng, mesh8):
         from admm_deconv_tpu.ops.solver import tv_deconvolve_anderson
         from admm_deconv_tpu.parallel import tiled_tv_deconvolve_anderson

@@ -509,6 +509,38 @@ class TestAnderson:
         with pytest.raises(ValueError, match="iters"):
             tv_deconvolve_anderson(y, psf=psf, iters=1)
 
+    def test_interval_mixing_converges(self, rng):
+        """aa_interval=k extrapolates G = T^k: at an equal total ADMM
+        iteration budget the residual must still land well below plain
+        ADMM's (the point of AA), and the q-carry fast inner loop
+        (prox_impl='pallas') must match the 5-plane inner loop exactly."""
+        y, psf, _ = self._scenario(rng)
+        kw = dict(psf=psf, lam=0.0041, rho=0.021)
+        _, d_plain = tv_deconvolve(y, iters=49, return_diagnostics=True, **kw)
+        x_x, d_x = tv_deconvolve_anderson(
+            y, iters=49, aa_interval=4, prox_impl="xla", **kw
+        )
+        x_p, d_p = tv_deconvolve_anderson(
+            y, iters=49, aa_interval=4, prox_impl="pallas", **kw
+        )
+        assert float(jnp.max(d_x.r_norm)) < 0.7 * float(jnp.max(d_plain.r_norm))
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(d_p.r_norm), np.asarray(d_x.r_norm), rtol=1e-3
+        )
+
+    def test_interval_early_stop_and_validation(self, rng):
+        y, psf, _ = self._scenario(rng)
+        kw = dict(psf=psf, lam=0.0041, rho=0.021)
+        x, d = tv_deconvolve_anderson(
+            y, iters=401, aa_interval=4, early_stop=True, **kw
+        )
+        it = int(d.iterations)
+        assert it < 401 and (it - 1) % 4 == 0
+        assert bool(jnp.all(jnp.isfinite(x)))
+        with pytest.raises(ValueError, match="aa_interval"):
+            tv_deconvolve_anderson(y, iters=100, aa_interval=4, **kw)
+
     def test_auto_window_sizing(self, rng):
         """m='auto' picks the largest window in [2,5] whose history fits
         the device budget — at this tiny shape that is m=5, so results

@@ -12,6 +12,7 @@ Layout convention: NHWC ``(batch, height, width, channels)`` everywhere
 """
 
 from admm_deconv_tpu.ops.solver import (
+    solve_auto,
     tv_deconvolve,
     tv_deconvolve_adaptive,
     anderson_history_bytes,
@@ -30,6 +31,7 @@ from admm_deconv_tpu.metrics import peak_snr, ssim, ssim_loss, gmsd, gmsd_loss
 __version__ = "0.1.0"
 
 __all__ = [
+    "solve_auto",
     "tv_deconvolve",
     "tv_deconvolve_adaptive",
     "anderson_history_bytes",

@@ -96,12 +96,17 @@ def _tau_plane_vector(tau, n: int, dtype):
 
 def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
     """Shared forward body given the halo-extended operand rows:
-    ``x_ext`` rows [r0-1, r1], ``ux_e``/``uy_e`` rows [r0, r1]."""
-    x_lo = x_ext[1:]  # rows [r0, r1] — (BM+1, W)
-    dxy = x_lo - x_ext[:-1]
+    ``x_ext`` rows [r0-1, r1], ``ux_e``/``uy_e`` rows [r0, r1].
+
+    Arithmetic always runs in fp32 inside VMEM; operands/outputs may be
+    stored in bf16 (the mixed-precision carry path, ``state_dtype`` in the
+    solver) — the casts below are no-ops for fp32 refs."""
+    f32 = jnp.float32
+    x_lo = x_ext[1:].astype(f32)  # rows [r0, r1] — (BM+1, W)
+    dxy = x_lo - x_ext[:-1].astype(f32)
     dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
-    vx = dxx + ux_e
-    vy = dxy + uy_e
+    vx = dxx + ux_e.astype(f32)
+    vy = dxy + uy_e.astype(f32)
     zx, zy = prox_apply(mode, vx, vy, tau)
     ux_new = vx - zx
     uy_new = vy - zy
@@ -109,9 +114,10 @@ def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
     wy = zy - uy_new
     wx0 = wx[:-1]
     # pltpu.roll requires a non-negative shift: roll by W-1 == roll by -1.
-    q_ref[0] = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
-    uxo_ref[0] = ux_new[:-1]
-    uyo_ref[0] = uy_new[:-1]
+    q = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
+    q_ref[0] = q.astype(q_ref.dtype)
+    uxo_ref[0] = ux_new[:-1].astype(uxo_ref.dtype)
+    uyo_ref[0] = uy_new[:-1].astype(uyo_ref.dtype)
 
 
 def _fwd_kernel(
@@ -365,7 +371,9 @@ def _fwd_pallas(x, ux, uy, tau_n1, mode, interpret):
     blk = lambda off: pl.BlockSpec(  # noqa: E731
         (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype)
+    # Outputs follow the CARRY dtype (ux): fp32 normally; bf16 on the
+    # mixed-precision storage path (fused_admm_stencil_mixed).
+    out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, mode),
         grid=grid,
@@ -516,6 +524,45 @@ def fused_admm_stencil(
             f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
         )
     return _make_diff_stencil(mode, _default_interpret(interpret))(x, ux, uy, tau_c)
+
+
+def fused_admm_stencil_mixed(
+    x: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    tau,
+    mode: str = "aniso",
+    interpret: bool | None = None,
+):
+    """Mixed-precision-storage variant of :func:`fused_admm_stencil`.
+
+    ``x`` stays fp32 (it is the spectral solve's fresh output); the carried
+    duals ``ux``/``uy`` — and the emitted ``(q, ux', uy')`` — live in a
+    narrower storage dtype (bfloat16).  All arithmetic still runs in fp32
+    inside VMEM (see ``_stencil_core``); only the HBM-resident loop state
+    narrows, halving the stencil section's HBM traffic — which is what
+    bounds it (the solver's ``state_dtype`` option).  Forward-only: no
+    custom VJP (differentiating through it raises), so the solver gates it
+    to inference solves.
+    """
+    if x.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {x.shape}")
+    if mode not in MODES:
+        raise ValueError(f"unknown prox mode {mode!r}; expected one of {MODES}")
+    if ux.dtype != uy.dtype:
+        raise ValueError(f"ux/uy dtypes differ: {ux.dtype} vs {uy.dtype}")
+    n, h, w = x.shape
+    if _pick_block_rows(h, w, x.dtype.itemsize) is None:
+        raise ValueError(f"no usable row block for H={h}, W={w}")
+    tau_c = _tau_plane_vector(tau, n, jnp.float32)
+    if tau_c is None:
+        raise ValueError(
+            f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
+        )
+    tau_n1 = jnp.broadcast_to(
+        jnp.asarray(tau_c, jnp.float32).reshape(-1, 1), (n, 1)
+    )
+    return _fwd_pallas(x, ux, uy, tau_n1, mode, _default_interpret(interpret))
 
 
 def fused_admm_stencil_halo(

@@ -350,6 +350,10 @@ def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla", precision=None):
     mode's matmul precision (the fold1 post-loop solve runs at HIGH).
     """
     if fft_mode == "xla":
+        if q.dtype not in (jnp.float32, jnp.float64):
+            # XLA's RFFT rejects bf16 (the state_dtype carry); the MXU
+            # modes consume it natively.
+            q = q.astype(jnp.float32)
         return jnp.fft.irfft2(c_spec * (b_f + rho * jnp.fft.rfft2(q)), s=(h, w))
     if fft_mode == "fold1":
         prec = precision if precision is not None else _fft_precision(fft_mode)
@@ -403,6 +407,7 @@ def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla", precision=None):
         "prox_impl",
         "alpha",
         "return_state",
+        "state_dtype",
     ),
 )
 def tv_deconvolve(
@@ -420,6 +425,7 @@ def tv_deconvolve(
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_state: bool = False,
+    state_dtype: str | None = None,
 ):
     """Fixed-iteration ADMM TV deconvolution (differentiable).
 
@@ -445,6 +451,16 @@ def tv_deconvolve(
         solve (e.g. the same frame at a different lam, or video frames).
       return_state: also return the final :class:`ADMMState` for warm
         restarts.
+      state_dtype: optional narrower STORAGE dtype ("bfloat16") for the
+        loop carry ``(q, ux, uy)``.  The stencil section is HBM-bound, so
+        halving the carried state's bytes buys throughput; all arithmetic
+        still runs fp32 in VMEM (``fused_admm_stencil_mixed``) and the MXU
+        DFT consumes bf16 operands natively, so the only new error is the
+        per-iteration bf16 quantization of the carried state (measured on
+        the 256^2 blocks parity scenario: see BASELINE.md round 4).
+        Inference-only: requires the fast q-carry path (plain ADMM, named
+        prox, ``prox_impl="pallas"``, no diagnostics/state request) and has
+        no VJP.
 
     ``fft_mode``/``prox_impl`` default to ``"auto"``: the fastest
     measured configuration for the current backend (fold1 delta-form DFT +
@@ -476,6 +492,13 @@ def tv_deconvolve(
             c_spec = _form_cspec(denom_h, lap, rho_f, fft_mode)
 
     n = b * c
+    if state_dtype is not None and (
+        return_diagnostics or return_state or iters < 1
+    ):
+        raise ValueError(
+            "state_dtype requires the fast q-carry path: no "
+            "return_diagnostics/return_state, iters >= 1"
+        )
 
     # ---- fast path: q-carry loop, z and x never materialized in HBM -----
     # The iteration state is fully described by (q = D^T(z - u), u) when no
@@ -502,9 +525,22 @@ def tv_deconvolve(
                 _pick_block_rows(h, w, jnp.dtype(y_f.dtype).itemsize) is not None
             )
         if use_pallas_stencil:
-            from admm_deconv_tpu.ops.pallas.stencil_kernels import fused_admm_stencil
+            from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+                fused_admm_stencil,
+                fused_admm_stencil_mixed,
+            )
 
             mode = _PALLAS_PROX_MODES[prox]
+        narrow = (
+            state_dtype is not None
+            and jnp.dtype(state_dtype) != jnp.dtype(y_f.dtype)
+        )
+        if narrow and not use_pallas_stencil:
+            raise ValueError(
+                "state_dtype requires the fast q-carry Pallas path: plain "
+                "ADMM (alpha=1), a named prox mode, prox_impl='pallas', and "
+                "a usable row block"
+            )
 
         if init_state is not None:
             q0 = grad2d_adjoint(
@@ -516,6 +552,9 @@ def tv_deconvolve(
             zeros = jnp.zeros((n, h, w), dtype=y_f.dtype)
             q0 = zeros
             zx0 = zy0 = ux0 = uy0 = zeros
+        if narrow:
+            sdt = jnp.dtype(state_dtype)
+            q0, ux0, uy0 = q0.astype(sdt), ux0.astype(sdt), uy0.astype(sdt)
 
         carry0 = (q0, ux0, uy0) if alpha == 1.0 else (q0, zx0, zy0, ux0, uy0)
 
@@ -530,9 +569,14 @@ def tv_deconvolve(
                     x = jnp.clip(x, x_bounds[0], x_bounds[1])
             if alpha == 1.0 and use_pallas_stencil:
                 with jax.named_scope("admm/stencil"):
-                    q, ux, uy = fused_admm_stencil(
-                        x, ux, uy, tau_kernel, mode=mode
-                    )
+                    if narrow:
+                        q, ux, uy = fused_admm_stencil_mixed(
+                            x, ux, uy, tau_kernel, mode=mode
+                        )
+                    else:
+                        q, ux, uy = fused_admm_stencil(
+                            x, ux, uy, tau_kernel, mode=mode
+                        )
                 return (q, ux, uy), None
             dxx, dxy = grad2d(x)
             if alpha != 1.0:
@@ -644,6 +688,7 @@ def tv_deconvolve(
         "prox_impl",
         "alpha",
         "return_state",
+        "state_dtype",
     ),
 )
 def tv_deconvolve_adaptive(
@@ -665,6 +710,7 @@ def tv_deconvolve_adaptive(
     alpha: float = 1.0,
     init_state: "ADMMState | None" = None,
     return_state: bool = False,
+    state_dtype: str | None = None,
 ):
     """ADMM with per-image residual-balanced rho and early stopping.
 
@@ -708,7 +754,18 @@ def tv_deconvolve_adaptive(
     55.62 dB (round 3 had fold1 ~2.5 dB BELOW fold).  ``"auto"`` therefore
     resolves to fold1 when ``check_every >= 4`` (block long enough to
     amortize the per-block exact re-hoist) and to "fold" below that; the
-    returned ``diag.rho`` still lets callers monitor drift.
+    returned ``diag.rho`` still lets callers monitor drift.  One regime
+    remains fold-only: DEEP tolerances (``eps_abs`` below ~1e-4), where
+    the mid-block bf16x1 iterate noise sets a residual floor above the
+    stopping threshold (measured 512^2, eps 1e-5/1e-4: fold1 capped at
+    400 iterations where fold stopped at 128 — BENCH_SUITE_r4
+    ttq_deep_512).  :func:`solve_auto` encodes that switch.
+
+    ``state_dtype="bfloat16"`` additionally narrows the STORAGE dtype of
+    the ``(q, ux, uy)`` carry inside the fast mid-loop (arithmetic stays
+    fp32 in VMEM; block-boundary state and residual decisions stay fp32 —
+    see :func:`tv_deconvolve`'s ``state_dtype``); requires the fast
+    mid-loop configuration.  Inference-only.
 
     Not differentiable (``lax.while_loop``); use :func:`tv_deconvolve` as the
     learned-layer path.
@@ -793,6 +850,7 @@ def tv_deconvolve_adaptive(
         from admm_deconv_tpu.ops.pallas.stencil_kernels import (
             _pick_block_rows,
             fused_admm_stencil,
+            fused_admm_stencil_mixed,
         )
 
         use_fast_mid = (
@@ -800,6 +858,21 @@ def tv_deconvolve_adaptive(
         )
         if use_fast_mid:
             pallas_mode = _PALLAS_PROX_MODES[prox]
+    # Mixed-precision mid-loop storage (same contract as tv_deconvolve's
+    # state_dtype): the (q, ux, uy) carried ACROSS the mid scan lives in
+    # bf16, while block-boundary state (z, u at check iterations) stays
+    # fp32 and residual decisions read HIGH-precision solves.  Deep
+    # tolerances keep the same caveat as fold1 (iterate noise floor).
+    narrow = (
+        state_dtype is not None
+        and jnp.dtype(state_dtype) != jnp.dtype(y_f.dtype)
+    )
+    if narrow and not use_fast_mid:
+        raise ValueError(
+            "state_dtype requires the fast mid-loop: check_every > 1, "
+            "plain ADMM (alpha=1), a named prox mode, prox_impl='pallas', "
+            "and a usable row block"
+        )
 
     # fold1 decision de-noising: stopping / rho adaptation read residuals off
     # the LAST TWO iterations of each check block (z_prev from iteration k-1,
@@ -819,19 +892,33 @@ def tv_deconvolve_adaptive(
         if use_fast_mid:
             tau_vec = tau[:, 0, 0]
             q0 = grad2d_adjoint(state.zx - state.ux, state.zy - state.uy)
+            ux0, uy0 = state.ux, state.uy
+            if narrow:
+                sdt = jnp.dtype(state_dtype)
+                q0, ux0, uy0 = q0.astype(sdt), ux0.astype(sdt), uy0.astype(sdt)
 
             def mid(carry2, _):
                 q, ux, uy = carry2
                 x = _solve_spectral(sb, sc, rho_cur, q, h, w, fft_mode)
                 if x_bounds is not None:
                     x = jnp.clip(x, x_bounds[0], x_bounds[1])
-                q, ux, uy = fused_admm_stencil(x, ux, uy, tau_vec, mode=pallas_mode)
+                if narrow:
+                    q, ux, uy = fused_admm_stencil_mixed(
+                        x, ux, uy, tau_vec, mode=pallas_mode
+                    )
+                else:
+                    q, ux, uy = fused_admm_stencil(
+                        x, ux, uy, tau_vec, mode=pallas_mode
+                    )
                 return (q, ux, uy), None
 
             with jax.named_scope("admm/mid_loop"):
                 (q, ux, uy), _ = jax.lax.scan(
-                    mid, (q0, state.ux, state.uy), None, length=check_every - 2
+                    mid, (q0, ux0, uy0), None, length=check_every - 2
                 )
+            if narrow:
+                ux = ux.astype(y_f.dtype)
+                uy = uy.astype(y_f.dtype)
             with jax.named_scope("admm/check_iter"):
                 x = _solve_spectral(
                     sb, sc, rho_cur, q, h, w, fft_mode, precision=check_prec
@@ -1344,6 +1431,92 @@ def tv_deconvolve_anderson(
         rho=jnp.broadcast_to(jnp.squeeze(rho_f), (n,)),
     )
     return _unfold(x, b, c).reshape(orig_shape), diags
+
+
+def solve_auto(
+    y: jnp.ndarray,
+    psf: jnp.ndarray | None = None,
+    lam=0.1,
+    rho=1.0,
+    *,
+    iters: int | None = None,
+    eps_abs: float = 1e-4,
+    eps_rel: float = 1e-3,
+    max_iters: int = 400,
+    prox: str | Callable = "aniso",
+    x_bounds: tuple[float, float] | None = None,
+):
+    """Solve with the measured-fastest solver for the request.
+
+    Encodes the committed time-to-tolerance tables (BASELINE.md rounds 3-4,
+    BENCH_SUITE_r4 ttq_1080p / ttq_4k / ttq_deep_512) as a decision, so
+    callers get the production configuration without reading them:
+
+      * ``iters`` given (a fixed iteration budget): the whole budget runs
+        as ONE ``check_every=iters`` block of :func:`tv_deconvolve_adaptive`
+        — fast-path execution (fold1 delta-form DFT + fused Pallas stencil
+        on TPU) with true final residual diagnostics from the single
+        end-of-run check, and the mid-loop carry stored bf16 (parity-grade:
+        -0.01 dB on the blocks scenario, +20% throughput — round 4).
+      * tolerance given (default): :func:`tv_deconvolve_adaptive` with
+        residual-balanced rho and ``check_every=8`` block checking — the
+        wall-clock winner at every measured scale and tolerance (1080p:
+        0.289 s vs 0.397 plain / 2.37 AA; deep eps at 512^2: 0.085 s with
+        adaptation cutting 400+ iterations to 128).  At standard
+        tolerances the block length lets "auto" run the bf16x1 fold1 loop
+        with HIGH-precision residual checks; at DEEP tolerances
+        (``eps_abs < 1e-4``) the bf16x1 iterate noise floor binds before
+        the stopping rule (measured: fold1-adaptive capped at 400
+        iterations where fold stopped at 128), so this forces the bf16x3
+        "fold" DFT there.
+
+    Anderson (:func:`tv_deconvolve_anderson`) is deliberately never
+    selected: it reaches tolerance in the fewest ADMM *iterations* but won
+    no measured wall-clock regime on this hardware — use it directly when
+    iteration count itself is the budget (e.g. each iteration hides behind
+    other work), preferably with ``aa_interval=8`` (converges where plain
+    AA floors, 6.6x faster at deep tolerance).
+
+    Returns ``(x, ADMMDiagnostics)`` for every branch.
+    """
+    def bf16_state_ok(check_every):
+        """bf16 carry eligibility: TPU, the fast mid-loop engaged, and the
+        Pallas row block available (mirrors the solver's own gate so
+        solve_auto never trips its validation)."""
+        if jax.default_backend() == "cpu" or check_every <= 1:
+            return False
+        if not (isinstance(prox, str) and prox in _PALLAS_PROX_MODES):
+            return False
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import _pick_block_rows
+
+        shape = jnp.shape(y)
+        hh, ww = (shape[0], shape[1]) if len(shape) == 2 else shape[-3:-1]
+        return _pick_block_rows(hh, ww, 4) is not None
+
+    if iters is not None:
+        # One check_every=iters block: the whole budget runs the q-carry +
+        # fused-stencil fast mid-loop (requesting diagnostics from
+        # tv_deconvolve would fall back to its 5-plane loop) and the single
+        # end-of-run check yields TRUE final residual norms for free.  On
+        # TPU the mid-loop carry is stored bf16 (parity-grade, +20%
+        # throughput — BASELINE.md round 4).
+        return tv_deconvolve_adaptive(
+            y, psf, lam, rho, max_iters=iters, prox=prox, x_bounds=x_bounds,
+            eps_abs=0.0, eps_rel=0.0, adapt_rho=False, check_every=iters,
+            state_dtype="bfloat16" if bf16_state_ok(iters) else None,
+        )
+    deep = eps_abs < 1e-4
+    check_every = 8 if max_iters % 8 == 0 and max_iters >= 8 else 1
+    # Deep tolerances keep fp32 state AND the bf16x3 fold DFT: any bf16
+    # iterate noise floors above the stopping threshold there (measured).
+    narrow = not deep and bf16_state_ok(check_every)
+    return tv_deconvolve_adaptive(
+        y, psf, lam, rho, max_iters=max_iters, prox=prox, x_bounds=x_bounds,
+        eps_abs=eps_abs, eps_rel=eps_rel, adapt_rho=True,
+        check_every=check_every,
+        fft_mode="fold" if (deep and jax.default_backend() != "cpu") else "auto",
+        state_dtype="bfloat16" if narrow else None,
+    )
 
 
 def tv_objective(

@@ -65,22 +65,29 @@ def time_fresh(fn, base, repeats=REPEATS):
 
 
 def main():
-    # The fast path stacks three TPU-first designs: the folded half-H MXU
+    # The fast path stacks four TPU-first designs: the folded half-H MXU
     # DFT ("fold1": Hermitian-symmetric DFT by matmul, ~26% fewer MXU FLOPs
     # than plain "mxu") runs its loop matmuls at bf16x1 — made parity-grade
     # by the delta-form x-update (x = x_B + irfft(rho*C . rfft(q)), x_B
-    # hoisted and exact; see ops/solver.py) — and the fused Pallas stencil
-    # (D -> prox -> dual -> D^T in one VMEM pass) covers the non-DFT part.
-    # "auto" resolves to exactly this on TPU (resolve_fft_mode).
+    # hoisted and exact; see ops/solver.py) — the fused Pallas stencil
+    # (D -> prox -> dual -> D^T in one VMEM pass) covers the non-DFT part,
+    # and (round 4) the loop carry (q, ux, uy) is STORED bf16 while all
+    # arithmetic stays fp32 in VMEM: the stencil section is HBM-bound, so
+    # halving its bytes bought 206 -> 247 iters/s at 1080p with -0.01 dB
+    # on the blocks parity scenario (BASELINE.md round 4).
+    sdt = "bfloat16" if jax.default_backend() != "cpu" else None
     def solve(y, psf):
         return tv_deconvolve(
             y, psf=psf, lam=0.0041, rho=0.021, iters=ITERS,
-            fft_mode="auto", prox_impl="auto",
+            fft_mode="auto", prox_impl="auto", state_dtype=sdt,
         )
 
     # ---- secondary metrics first (the driver parses the LAST line) -------
+    # repeats=6: a 10-repeat round-4 re-measure put this workload at 148.1
+    # iters/s median with ~1% spread — the round-3 driver artifact's 146.4
+    # (repeats=3) was sampling noise, not a regression (BASELINE.md round 4).
     y4k, psf = make_inputs((1, 2160, 3840, 3))
-    s4k = time_fresh(lambda v: solve(v, psf), y4k, repeats=3)
+    s4k = time_fresh(lambda v: solve(v, psf), y4k, repeats=6)
     print(json.dumps({
         "metric": "admm_tv_deconv_iters_per_s_4k_frame",
         "value": round(ITERS / s4k, 2),

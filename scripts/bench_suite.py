@@ -39,7 +39,8 @@ def motion_psf():
     return jnp.asarray(psf)
 
 
-def time_solve(shape, fft_mode, prox_impl, iters=ITERS, repeats=3):
+def time_solve(shape, fft_mode, prox_impl, iters=ITERS, repeats=3,
+               state_dtype=None):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random(shape), jnp.float32)
     psf = motion_psf()
@@ -47,7 +48,7 @@ def time_solve(shape, fft_mode, prox_impl, iters=ITERS, repeats=3):
     def solve(y):
         return tv_deconvolve(
             y, psf=psf, lam=LAM, rho=RHO, iters=iters,
-            fft_mode=fft_mode, prox_impl=prox_impl,
+            fft_mode=fft_mode, prox_impl=prox_impl, state_dtype=state_dtype,
         )
 
     timer = IterationTimer(solve, lambda i: (img + 1e-3 * i,))
@@ -110,11 +111,22 @@ def main():
                        **time_solve(shape, "xla", "xla")})
         emit(results, {"bench": "1080p_batch4", "path": f"{fast_fft}+{fast_prox}",
                        **time_solve(shape, fast_fft, fast_prox)})
+        if on_tpu:
+            # Round 4: bf16 STORAGE for the loop carry (fp32 VMEM math).
+            emit(results, {"bench": "1080p_batch4",
+                           "path": f"{fast_fft}+{fast_prox}+bf16state",
+                           **time_solve(shape, fast_fft, fast_prox,
+                                        state_dtype="bfloat16")})
 
     if args.full:
         shape4k = (1, 2160, 3840, 3)
         emit(results, {"bench": "4k_frame", "path": f"{fast_fft}+{fast_prox}",
                        **time_solve(shape4k, fast_fft, fast_prox)})
+        if on_tpu:
+            emit(results, {"bench": "4k_frame",
+                           "path": f"{fast_fft}+{fast_prox}+bf16state",
+                           **time_solve(shape4k, fast_fft, fast_prox,
+                                        state_dtype="bfloat16")})
 
     # Quality parity: reference scenario on a synthetic blocks image —
     # 16x16 piecewise-constant tiles, the regime TV regularization is FOR.
@@ -482,6 +494,9 @@ def main():
         # that a Mosaic lowering regression can't silently ship).
         from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
         from admm_deconv_tpu.ops.pallas import fused_admm_stencil, fused_prox_dual
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            fused_admm_stencil_mixed,
+        )
         from admm_deconv_tpu.ops.prox import prox_dual_step, resolve
 
         rng = np.random.default_rng(3)
@@ -558,6 +573,32 @@ def main():
                     "stencil_grad_max_rel_diff": grad_diff,
                     "prox_dual_max_diff": prox_diff,
                 })
+
+        # Round 4: the mixed-precision-storage kernel (bf16 carry, fp32
+        # VMEM arithmetic) vs the jnp composition evaluated on the same
+        # bf16-rounded inputs — agreement must be at bf16 resolution.
+        uxb = ux.astype(jnp.bfloat16)
+        uyb = uy.astype(jnp.bfloat16)
+        mix = jax.jit(
+            lambda x, a, b: fused_admm_stencil_mixed(
+                x, a, b, jnp.float32(0.13), mode="aniso", interpret=False
+            )
+        )(x, uxb, uyb)
+        refm = jax.jit(
+            lambda x, a, b: jnp_stencil(
+                x, a.astype(jnp.float32), b.astype(jnp.float32),
+                jnp.float32(0.13), "aniso",
+            )
+        )(x, uxb, uyb)
+        mixed_diff = max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32) - b)))
+            for a, b in zip(mix, refm)
+        )
+        emit(results, {
+            "bench": "pallas_parity_mixed", "backend": jax.default_backend(),
+            "out_dtype": str(mix[0].dtype),
+            "max_diff_vs_fp32_math": mixed_diff,
+        })
 
     if args.train or args.train_scaling:
         import optax

@@ -45,6 +45,7 @@ from admm_deconv_tpu.ops.solver import (
     jax.jit,
     static_argnames=(
         "iters", "prox", "x_bounds", "fft_mode", "remat", "prox_impl",
+        "state_dtype",
     ),
 )
 def composite_tv_deconvolve(
@@ -60,6 +61,7 @@ def composite_tv_deconvolve(
     fft_mode: str = "auto",
     remat: bool = False,
     prox_impl: str = "auto",
+    state_dtype: str | None = None,
 ):
     """ADMM with a TV + L1 + box composite prior (differentiable).
 
@@ -76,6 +78,11 @@ def composite_tv_deconvolve(
         identity-split prox + combined rhs) fused into ONE VMEM pass
         (``ops/pallas/stencil_kernels.py::fused_admm_stencil_composite``);
         inference-only (no VJP), mirroring the core solver's fast path.
+      state_dtype: optional bf16 STORAGE for the fast-path carry
+        ``(q, u1x, u1y, u2)`` — the composite twin of
+        :func:`~admm_deconv_tpu.ops.solver.tv_deconvolve`'s ``state_dtype``
+        (fp32 VMEM arithmetic; all four carried planes are residual-scale,
+        so bf16 rounding stays difference-scale).  Requires the fast path.
 
     Returns the restored image(s) (the feasible ``z2`` iterate).
     """
@@ -136,8 +143,18 @@ def composite_tv_deconvolve(
             and ratio_k is not None
             and _pick_block_rows(h, w, jnp.dtype(y_f.dtype).itemsize) is not None
         )
+    narrow = (
+        state_dtype is not None
+        and jnp.dtype(state_dtype) != jnp.dtype(y_f.dtype)
+    )
+    if narrow and not use_fast:
+        raise ValueError(
+            "state_dtype requires the fused composite fast path "
+            "(prox_impl='pallas', named prox, usable row block)"
+        )
     if use_fast:
         mode = _PALLAS_PROX_MODES[prox]
+        z0 = zeros.astype(jnp.dtype(state_dtype)) if narrow else zeros
 
         def fast_body(carry, _):
             q, ux, uy, u2 = carry
@@ -148,14 +165,14 @@ def composite_tv_deconvolve(
             return (q, ux, uy, u2), None
 
         carry, _ = jax.lax.scan(
-            fast_body, (zeros, zeros, zeros, zeros), None, length=iters - 1
+            fast_body, (z0, z0, z0, z0), None, length=iters - 1
         )
         q_fin, _, _, u2_fin = carry
         final_prec = jax.lax.Precision.HIGH if fft_mode == "fold1" else None
         x = _solve_spectral(
             b_f, c_spec, rho1_f, q_fin, h, w, fft_mode, precision=final_prec
         )
-        v = x + u2_fin
+        v = x + u2_fin.astype(x.dtype)
         z2 = jnp.sign(v) * jnp.maximum(jnp.abs(v) - tau_l1, 0.0)
         if x_bounds is not None:
             z2 = jnp.clip(z2, lo, hi)

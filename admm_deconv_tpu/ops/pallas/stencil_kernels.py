@@ -204,15 +204,18 @@ def _fwd_kernel_composite(
     ``(tau_tv, tau_l1, ratio = rho2/rho1)``.
     """
     i = pl.program_id(0)
+    f32 = jnp.float32
     tau_tv = tau_ref[i, 0]
     tau_l1 = tau_ref[i, 1]
     ratio = tau_ref[i, 2]
-    x_ext = jnp.concatenate([xp_ref[0, -1:], xc_ref[0], xn_ref[0, :1]], axis=0)
+    x_ext = jnp.concatenate(
+        [xp_ref[0, -1:], xc_ref[0], xn_ref[0, :1]], axis=0
+    ).astype(f32)
     x_lo = x_ext[1:]
     dxy = x_lo - x_ext[:-1]
     dxx = x_lo - pltpu.roll(x_lo, 1, axis=1)
-    ux_e = jnp.concatenate([uxc_ref[0], uxn_ref[0, :1]], axis=0)
-    uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0)
+    ux_e = jnp.concatenate([uxc_ref[0], uxn_ref[0, :1]], axis=0).astype(f32)
+    uy_e = jnp.concatenate([uyc_ref[0], uyn_ref[0, :1]], axis=0).astype(f32)
     vx = dxx + ux_e
     vy = dxy + uy_e
     zx, zy = prox_apply(mode, vx, vy, tau_tv)
@@ -222,15 +225,15 @@ def _fwd_kernel_composite(
     wy = zy - uy_new
     wx0 = wx[:-1]
     q1 = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
-    v2 = x_ext[1:-1] + u2c_ref[0]
+    v2 = x_ext[1:-1] + u2c_ref[0].astype(f32)
     z2 = jnp.sign(v2) * jnp.maximum(jnp.abs(v2) - tau_l1, 0.0)
     if x_bounds is not None:
         z2 = jnp.clip(z2, x_bounds[0], x_bounds[1])
     u2_new = v2 - z2
-    q_ref[0] = q1 + ratio * (z2 - u2_new)
-    uxo_ref[0] = ux_new[:-1]
-    uyo_ref[0] = uy_new[:-1]
-    u2o_ref[0] = u2_new
+    q_ref[0] = (q1 + ratio * (z2 - u2_new)).astype(q_ref.dtype)
+    uxo_ref[0] = ux_new[:-1].astype(uxo_ref.dtype)
+    uyo_ref[0] = uy_new[:-1].astype(uyo_ref.dtype)
+    u2o_ref[0] = u2_new.astype(u2o_ref.dtype)
 
 
 def fused_admm_stencil_composite(
@@ -261,9 +264,13 @@ def fused_admm_stencil_composite(
     bm = _pick_block_rows(h, w, x.dtype.itemsize)
     if bm is None:
         raise ValueError(f"no usable row block for H={h}, W={w}")
+    if ux.dtype != uy.dtype or ux.dtype != u2.dtype:
+        raise ValueError(
+            f"ux/uy/u2 dtypes differ: {ux.dtype}/{uy.dtype}/{u2.dtype}"
+        )
     taus = []
     for name, t in (("tau_tv", tau_tv), ("tau_l1", tau_l1), ("ratio", ratio)):
-        tc = _tau_plane_vector(t, n, x.dtype)
+        tc = _tau_plane_vector(t, n, jnp.float32)
         if tc is None:
             raise ValueError(
                 f"{name} shape {jnp.shape(t)} not scalar or per-plane ({n},)"
@@ -275,7 +282,8 @@ def fused_admm_stencil_composite(
     blk = lambda off: pl.BlockSpec(  # noqa: E731
         (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype)
+    # Outputs follow the carry dtype (bf16 on the state_dtype path).
+    out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_composite, mode, x_bounds),
         grid=grid,
@@ -605,13 +613,15 @@ def fused_admm_stencil_halo(
     bm = _pick_block_rows(h, w, x.dtype.itemsize)
     if bm is None:
         raise ValueError(f"no usable row block for H={h}, W={w}")
-    tau_c = _tau_plane_vector(tau, n, x.dtype)
+    if ux.dtype != uy.dtype:
+        raise ValueError(f"ux/uy dtypes differ: {ux.dtype} vs {uy.dtype}")
+    tau_c = _tau_plane_vector(tau, n, jnp.float32)
     if tau_c is None:
         raise ValueError(
             f"tau shape {jnp.shape(tau)} not scalar or per-plane ({n},)"
         )
     tau_n1 = jnp.broadcast_to(
-        jnp.asarray(tau_c, x.dtype).reshape(-1, 1), (n, 1)
+        jnp.asarray(tau_c, jnp.float32).reshape(-1, 1), (n, 1)
     )
     # Inside shard_map every operand must agree on which mesh axes it varies
     # over (check_vma): promote per-image operands (e.g. tau, varying only
@@ -630,7 +640,9 @@ def fused_admm_stencil_halo(
         (1, bm, w), lambda i, j, o=off: (i, (j + o) % g, 0), memory_space=pltpu.VMEM
     )
     row = pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n, h, w), x.dtype, vma=vma)
+    # Outputs follow the CARRY dtype (ux) — fp32 normally, bf16 on the
+    # mixed-precision storage path (the tiled solver's state_dtype).
+    out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype, vma=vma)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_halo, mode),
         grid=grid,

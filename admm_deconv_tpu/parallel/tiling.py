@@ -105,6 +105,8 @@ def _halo_exchange(x, ux, uy, axis_name):
 
 def _dist_rfft2(q, axis_name, wp):
     """H-tiled (N, Ht, W) real -> column-sharded (N, H, Wp/T) complex."""
+    if q.dtype not in (jnp.float32, jnp.float64):
+        q = q.astype(jnp.float32)  # XLA's RFFT rejects the bf16 carry
     qf = jnp.fft.rfft(q, axis=-1)
     wf = qf.shape[-1]
     qf = jnp.pad(qf, ((0, 0), (0, 0), (0, wp - wf)))
@@ -303,6 +305,7 @@ def _make_x_from_q(
         "fast",
         "check_every",
         "fast_mid",
+        "state_dtype",
     ),
 )
 def _tiled_solve(
@@ -329,8 +332,11 @@ def _tiled_solve(
     fast=False,
     check_every=1,
     fast_mid=False,
+    state_dtype=None,
 ):
     n, h, w = y.shape
+    narrow = state_dtype is not None and jnp.dtype(state_dtype) != y.dtype
+    sdt = jnp.dtype(state_dtype) if narrow else None
     t = mesh.shape[axis_name]
     wf = w // 2 + 1
     wp = -(-wf // t) * t  # padded frequency-column count, divisible by T
@@ -398,6 +404,11 @@ def _tiled_solve(
                 state0.zx - state0.ux, state0.zy - state0.uy, axis_name
             )
             ux0, uy0 = state0.ux, state0.uy
+            if narrow:
+                # Mixed-precision carry (see ops/solver.py state_dtype):
+                # bf16 STORAGE for (q, ux, uy); halo rows and kernel math
+                # stay fp32 in VMEM, the MXU DFT eats bf16 q natively.
+                q0, ux0, uy0 = q0.astype(sdt), ux0.astype(sdt), uy0.astype(sdt)
 
             def fast_body(carry, _):
                 q, ux, uy = carry
@@ -523,6 +534,10 @@ def _tiled_solve(
                 q0 = _grad2d_adjoint_tiled(
                     state.zx - state.ux, state.zy - state.uy, axis_name
                 )
+                ux0_m, uy0_m = state.ux, state.uy
+                if narrow:
+                    q0 = q0.astype(sdt)
+                    ux0_m, uy0_m = ux0_m.astype(sdt), uy0_m.astype(sdt)
 
                 def mid(carry2, _):
                     q, ux, uy = carry2
@@ -534,9 +549,11 @@ def _tiled_solve(
                     return (q, ux, uy), None
 
                 (q, ux, uy), _ = jax.lax.scan(
-                    mid, (q0, state.ux, state.uy), None,
+                    mid, (q0, ux0_m, uy0_m), None,
                     length=check_every - 2,
                 )
+                if narrow:
+                    ux, uy = ux.astype(y.dtype), uy.astype(y.dtype)
                 x = x_from_q(q, rho_c, check_prec)
                 dxx, dxy = _grad2d_tiled(x, axis_name)
                 zx, zy, ux, uy = prox_step(dxx, dxy, ux, uy, lam_l / rho_c)
@@ -634,6 +651,7 @@ def tiled_tv_deconvolve(
     init_state: "ADMMState | None" = None,
     return_diagnostics: bool = False,
     return_state: bool = False,
+    state_dtype: str | None = None,
 ):
     """ADMM TV deconvolution with the image H axis sharded over ``mesh``.
 
@@ -680,6 +698,12 @@ def tiled_tv_deconvolve(
         ``(B*C, H, W)`` layout).
       return_diagnostics: also return per-image :class:`ADMMDiagnostics`.
       return_state: also return the final state for warm restarts.
+      state_dtype: optional bf16 STORAGE for the tile-local loop carry
+        ``(q, ux, uy)`` (and the halo rows riding the ppermutes) — the
+        distributed twin of the single-chip ``state_dtype`` (fp32 VMEM
+        arithmetic, HIGH-precision residual decisions, inference-only);
+        requires the fast q-carry path or the ``check_every`` fast
+        mid-loop.
 
     Returns ``x`` (same shape as input, H-sharded), optionally followed by
     diagnostics and/or state.
@@ -798,6 +822,14 @@ def tiled_tv_deconvolve(
             is not None
         )
 
+    if state_dtype is not None and jnp.dtype(state_dtype) != y_f.dtype and not (
+        fast or fast_mid
+    ):
+        raise ValueError(
+            "state_dtype requires the fast q-carry path (fixed iterations) "
+            "or the check_every fast mid-loop (early_stop/adapt_rho with "
+            "check_every > 1), with prox_impl='pallas' and a named prox"
+        )
     result = _tiled_solve(
         y_f,
         psf_arr,
@@ -820,6 +852,7 @@ def tiled_tv_deconvolve(
         fast=fast,
         check_every=check_every,
         fast_mid=fast_mid,
+        state_dtype=state_dtype,
     )
     if fast:
         x = result

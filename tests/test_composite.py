@@ -121,6 +121,25 @@ class TestComposite:
         fast = composite_tv_deconvolve(y, None, prox_impl="pallas", **kw)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
 
+    def test_bf16_state_close(self, rng):
+        """Round-4 mixed-precision carry on the composite fast path: all
+        four carried planes (q, u1x, u1y, u2) are residual-scale, so bf16
+        storage stays inside a small quantization envelope; the box
+        constraint remains EXACT (z2 is projected after the final fp32
+        solve)."""
+        y = jnp.asarray(_sparse_scene(rng, 64, 64), jnp.float32)
+        kw = dict(lam_tv=0.01, lam_l1=0.002, rho1=0.1, rho2=0.1, iters=20,
+                  x_bounds=(0.0, 1.0), prox_impl="pallas")
+        x32 = composite_tv_deconvolve(y, None, **kw)
+        x16 = composite_tv_deconvolve(y, None, state_dtype="bfloat16", **kw)
+        assert x16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(x16), np.asarray(x32), atol=2e-2)
+        assert float(jnp.min(x16)) >= 0.0 and float(jnp.max(x16)) <= 1.0
+        with pytest.raises(ValueError, match="state_dtype"):
+            composite_tv_deconvolve(
+                y, None, iters=5, state_dtype="bfloat16", prox_impl="xla"
+            )
+
     def test_pallas_fast_path_iso(self, rng):
         y = jnp.asarray(_sparse_scene(rng, 64, 64), jnp.float32)
         kw = dict(lam_tv=0.01, lam_l1=0.002, rho1=0.1, rho2=0.2, iters=20,

@@ -302,6 +302,35 @@ class TestTiledFeatureParity:
             np.asarray(x_t), np.asarray(x_ref), rtol=1e-3, atol=1e-4
         )
 
+    def test_bf16_state_fast_paths(self, rng, mesh8):
+        """Round-4 mixed-precision carry on the tiled solver: bf16 storage
+        for (q, ux, uy) in the fixed fast loop and the adaptive fast
+        mid-loop; results land within the bf16 quantization envelope of
+        the fp32 runs, and validation rejects non-fast configurations."""
+        y = jnp.asarray(_img(rng))
+        kw = dict(lam=0.05, rho=0.5, iters=24, mesh=mesh8,
+                  fft_mode="fold1", prox_impl="pallas")
+        x32 = tiled_tv_deconvolve(y, None, **kw)
+        x16 = tiled_tv_deconvolve(y, None, state_dtype="bfloat16", **kw)
+        np.testing.assert_allclose(np.asarray(x16), np.asarray(x32), atol=2e-2)
+        # Adaptive fast mid-loop variant.
+        kwa = dict(lam=0.05, rho=5.0, iters=24, mesh=mesh8, adapt_rho=True,
+                   early_stop=True, check_every=8, prox_impl="pallas",
+                   eps_abs=0.0, eps_rel=0.0, return_diagnostics=True)
+        xa32, d32 = tiled_tv_deconvolve(y, None, **kwa)
+        xa16, d16 = tiled_tv_deconvolve(
+            y, None, state_dtype="bfloat16", **kwa
+        )
+        assert int(d16.iterations) == int(d32.iterations) == 24
+        np.testing.assert_allclose(
+            np.asarray(xa16), np.asarray(xa32), atol=2e-2
+        )
+        with pytest.raises(ValueError, match="state_dtype"):
+            tiled_tv_deconvolve(
+                y, None, iters=10, mesh=mesh8, state_dtype="bfloat16",
+                return_diagnostics=True,
+            )
+
     def test_fold_tile1_mesh(self, rng):
         """T=1 keeps the unpacked self-send all_to_alls (the packed re-shard
         only engages on real meshes) — both branches must agree with the

@@ -155,7 +155,7 @@ def irfft2_mxu(
 
 
 def rfft2_mxu_folded(
-    x: jnp.ndarray, precision=Precision.HIGHEST
+    x: jnp.ndarray, precision=Precision.HIGHEST, out_dtype=None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """2-D real DFT in the folded half-H representation.
 
@@ -163,16 +163,29 @@ def rfft2_mxu_folded(
     the Hermitian H-spectra of the real/imag parts of the W-direction rFFT.
     The full ``jnp.fft.rfft2`` spectrum is ``S[m] = A[m] + i*B[m]`` extended
     by ``A[H-m] = conj(A[m])``.
+
+    ``out_dtype`` (e.g. bf16) narrows the STORAGE of the W-DFT intermediate
+    and the returned spectra — numerically free at DEFAULT precision, where
+    every consuming matmul casts its operands to bf16 anyway (the casts
+    fuse into the producing matmuls' epilogues); the MXU still accumulates
+    fp32.  Do not combine with the HIGH/HIGHEST ladders (they split fp32
+    operands into bf16 pieces and need the fp32 inputs).
     """
     h, w = x.shape[-2], x.shape[-1]
     cw, sw = (jnp.asarray(m) for m in _w_fwd(w))
     chf, shf = (jnp.asarray(m) for m in _w_fwd(h))  # (H, Hf) cos / -sin
     re1 = jnp.einsum("...hw,wk->...hk", x, cw, precision=precision)
     im1 = jnp.einsum("...hw,wk->...hk", x, sw, precision=precision)
+    if out_dtype is not None:
+        re1, im1 = re1.astype(out_dtype), im1.astype(out_dtype)
     a_re = jnp.einsum("...hk,hm->...mk", re1, chf, precision=precision)
     a_im = jnp.einsum("...hk,hm->...mk", re1, shf, precision=precision)
     b_re = jnp.einsum("...hk,hm->...mk", im1, chf, precision=precision)
     b_im = jnp.einsum("...hk,hm->...mk", im1, shf, precision=precision)
+    if out_dtype is not None:
+        a_re, a_im, b_re, b_im = (
+            t.astype(out_dtype) for t in (a_re, a_im, b_re, b_im)
+        )
     return a_re, a_im, b_re, b_im
 
 
@@ -183,6 +196,7 @@ def irfft2_mxu_folded(
     pi_im: jnp.ndarray,
     s: tuple[int, int],
     precision=Precision.HIGHEST,
+    inner_dtype=None,
 ) -> jnp.ndarray:
     """Inverse 2-D real DFT from two half-stored Hermitian H-arguments.
 
@@ -190,6 +204,10 @@ def irfft2_mxu_folded(
     whose inverse H-DFTs give the real/imag parts fed to the W-direction
     Hermitian-to-real inverse (see :func:`spectral_scale_folded` for how a
     real spectral multiply lands in this form).  Output spatial shape ``s``.
+    ``inner_dtype`` narrows the H-inverse intermediate's storage (same
+    rationale and DEFAULT-precision-only caveat as
+    :func:`rfft2_mxu_folded`); the returned spatial array is always the
+    matmuls' accumulation dtype (fp32).
     """
     h, w = s
     ah, bh = (jnp.asarray(m) for m in _w_inv(h))  # (Hf, H), weights folded
@@ -200,6 +218,8 @@ def irfft2_mxu_folded(
     ai = jnp.einsum("...mk,mh->...hk", pi_re, ah, precision=precision) + jnp.einsum(
         "...mk,mh->...hk", pi_im, bh, precision=precision
     )
+    if inner_dtype is not None:
+        ar, ai = ar.astype(inner_dtype), ai.astype(inner_dtype)
     return jnp.einsum("...hk,kw->...hw", ar, aw, precision=precision) + jnp.einsum(
         "...hk,kw->...hw", ai, bw, precision=precision
     )

@@ -358,9 +358,23 @@ def _solve_spectral(b_f, c_spec, rho, q, h, w, fft_mode="xla", precision=None):
     if fft_mode == "fold1":
         prec = precision if precision is not None else _fft_precision(fft_mode)
         ce, co = c_spec
-        f = rfft2_mxu_folded(q, precision=prec)
+        # Narrow-state solves (bf16 q at DEFAULT precision) store every
+        # transform intermediate in bf16 too: each consumer matmul casts
+        # its operands to bf16 regardless, so the narrowing only removes
+        # HBM bytes (casts fuse into producer epilogues; fp32 accumulate).
+        # HIGH-precision check/final solves keep fp32 intermediates (the
+        # bf16x3 ladder needs fp32 operands to split).
+        nt = (
+            q.dtype
+            if q.dtype == jnp.bfloat16 and prec == jax.lax.Precision.DEFAULT
+            else None
+        )
+        f = rfft2_mxu_folded(q, precision=prec, out_dtype=nt)
+        scaled = spectral_scale_folded(f, ce, co)
+        if nt is not None:
+            scaled = tuple(t.astype(nt) for t in scaled)
         return b_f + irfft2_mxu_folded(
-            *spectral_scale_folded(f, ce, co), (h, w), precision=prec
+            *scaled, (h, w), precision=prec, inner_dtype=nt
         )
     if fft_mode in ("pack", "pack_precise"):
         # b_f is the spatial H^T y cache; c_spec is in the four-step layout.

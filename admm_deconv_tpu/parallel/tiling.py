@@ -123,7 +123,7 @@ def _dist_irfft2(xhat_cols, axis_name, w, wf):
     return jnp.fft.irfft(qf, n=w, axis=-1)
 
 
-def _dist_rfft2_fold(q, axis_name, wp, prec):
+def _dist_rfft2_fold(q, axis_name, wp, prec, out_dtype=None):
     """Folded MXU variant of :func:`_dist_rfft2` (the multi-chip analogue of
     the single-chip ``fft_mode="fold"`` path, `ops/fft_mxu.py`).
 
@@ -148,6 +148,10 @@ def _dist_rfft2_fold(q, axis_name, wp, prec):
     chf, shf = (jnp.asarray(m) for m in _w_fwd(h))
     re1 = jnp.einsum("nhw,wk->nhk", q, cw, precision=prec)
     im1 = jnp.einsum("nhw,wk->nhk", q, sw, precision=prec)
+    if out_dtype is not None:
+        # Narrow intermediate storage (see fft_mxu.rfft2_mxu_folded): also
+        # HALVES the re-shard collective's bytes on real meshes.
+        re1, im1 = re1.astype(out_dtype), im1.astype(out_dtype)
     wf = re1.shape[-1]
     if t > 1:
         pk = jnp.stack([re1, im1], axis=1)  # (N, 2, Ht, Wf)
@@ -171,10 +175,15 @@ def _dist_rfft2_fold(q, axis_name, wp, prec):
     a_im = jnp.einsum("nhk,hm->nmk", re1, shf, precision=prec)
     b_re = jnp.einsum("nhk,hm->nmk", im1, chf, precision=prec)
     b_im = jnp.einsum("nhk,hm->nmk", im1, shf, precision=prec)
+    if out_dtype is not None:
+        a_re, a_im, b_re, b_im = (
+            v.astype(out_dtype) for v in (a_re, a_im, b_re, b_im)
+        )
     return a_re, a_im, b_re, b_im
 
 
-def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec):
+def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec,
+                      inner_dtype=None):
     """Inverse of :func:`_dist_rfft2_fold` from the two half-stored Hermitian
     H-arguments (see ``spectral_scale_folded``) back to H-tiled real.  The
     two real H-inverse intermediates ride ONE ``all_to_all`` back to the
@@ -188,6 +197,8 @@ def _dist_irfft2_fold(pr_re, pr_im, pi_re, pi_im, axis_name, h, w, wf, prec):
     ai = jnp.einsum("nmk,mh->nhk", pi_re, ah, precision=prec) + jnp.einsum(
         "nmk,mh->nhk", pi_im, bh, precision=prec
     )
+    if inner_dtype is not None:
+        ar, ai = ar.astype(inner_dtype), ai.astype(inner_dtype)
     if jax.lax.axis_size(axis_name) > 1:
         pk = jnp.stack([ar, ai], axis=1)  # (N, 2, H, Wp/T)
         pk = jax.lax.all_to_all(
@@ -256,10 +267,18 @@ def _make_x_from_q(
 
     def x_from_q(q, rho_c, prec_x=prec):
         if delta:
-            f = _dist_rfft2_fold(q, axis_name, wp, prec_x)
+            nt = (
+                q.dtype
+                if q.dtype == jnp.bfloat16
+                and prec_x == jax.lax.Precision.DEFAULT
+                else None
+            )
+            f = _dist_rfft2_fold(q, axis_name, wp, prec_x, out_dtype=nt)
+            scaled = spectral_scale_folded(f, ce_d, co_d)
+            if nt is not None:
+                scaled = tuple(v.astype(nt) for v in scaled)
             x = x_b + _dist_irfft2_fold(
-                *spectral_scale_folded(f, ce_d, co_d),
-                axis_name, h, w, wf, prec_x,
+                *scaled, axis_name, h, w, wf, prec_x, inner_dtype=nt,
             )
         elif folded:
             c_cols = 1.0 / (denom_h + rho_c * lap_cols + rho2_l)

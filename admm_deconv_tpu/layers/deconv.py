@@ -68,6 +68,11 @@ class ADMMDeconv(nn.Module):
         (jnp stencil composition) or "pallas" — the fused one-pass
         D->prox->dual->D^T TPU kernel, differentiable via its custom-VJP
         backward kernel (``ops/pallas/stencil_kernels.py``).
+      state_dtype: optional bf16 STORAGE for the solver's loop carry
+        (``tv_deconvolve``'s ``state_dtype``) — an INFERENCE deployment
+        knob (+20% measured solver throughput on TPU, parity-grade);
+        differentiating a layer with it set raises (the mixed-storage
+        kernel has no VJP), so leave None for training.
       diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
         (exact gradient of the truncated solver; required for trainable rho);
         "implicit" differentiates the converged fixed point with the
@@ -88,6 +93,7 @@ class ADMMDeconv(nn.Module):
     remat: bool = False
     fft_mode: str = "auto"
     prox_impl: str = "auto"
+    state_dtype: str | None = None
     diff_mode: str = "unroll"
     bwd_iters: int = 30
 
@@ -158,6 +164,7 @@ class ADMMDeconv(nn.Module):
                 remat=self.remat,
                 fft_mode=self.fft_mode,
                 prox_impl=self.prox_impl,
+                state_dtype=self.state_dtype,
             )
         else:
             raise ValueError(

@@ -89,9 +89,24 @@ def main(argv=None):
         help="Anderson-accelerated solve (2x fewer iterations to a given "
         "residual; fixed rho)",
     )
+    p.add_argument(
+        "--aa-interval", type=int, default=1, metavar="K",
+        help="with --anderson: extrapolate every K iterations (one history "
+        "pass per K; round-4 every-k mixing)",
+    )
+    p.add_argument(
+        "--auto", action="store_true",
+        help="let solve_auto pick the measured-fastest solver for the "
+        "request (adaptive rho + block checking + bf16 state on TPU)",
+    )
+    p.add_argument(
+        "--bf16-state", dest="bf16_state", action="store_true",
+        help="store the loop carry in bf16 (fp32 math in VMEM; inference "
+        "fast path only, +20%% measured on TPU)",
+    )
     args = p.parse_args(argv)
-    if sum([args.adaptive, args.anderson, args.l1 > 0]) > 1:
-        p.error("--adaptive / --anderson / --l1 are mutually exclusive")
+    if sum([args.adaptive, args.anderson, args.l1 > 0, args.auto]) > 1:
+        p.error("--adaptive / --anderson / --l1 / --auto are mutually exclusive")
 
     if args.src:
         paths = sorted(glob.glob(os.path.join(args.src, "*")))[:8]
@@ -110,8 +125,15 @@ def main(argv=None):
     ref = jnp.asarray(np.stack(imgs))
     prox = "iso" if args.iso else "aniso"
 
+    sdt = "bfloat16" if args.bf16_state else None
     t0 = time.time()
-    if args.adaptive:
+    if args.auto:
+        restored, diag = adt.solve_auto(
+            batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
+            max_iters=args.iters * 4, prox=prox,
+        )
+        extra = f" (solve_auto: {int(diag.iterations)} iters)"
+    elif args.adaptive:
         restored, diag = adt.tv_deconvolve_adaptive(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
             max_iters=args.iters * 3, prox=prox, fft_mode=args.fft_mode,
@@ -126,17 +148,20 @@ def main(argv=None):
         )
         extra = f" (composite TV+L1, lam_l1={args.l1})"
     elif args.anderson:
+        it = args.iters
+        if (it - 1) % args.aa_interval:
+            it += args.aa_interval - (it - 1) % args.aa_interval
         restored, diag = adt.tv_deconvolve_anderson(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
-            iters=args.iters, prox=prox, fft_mode=args.fft_mode,
-            prox_impl=args.prox_impl,
+            iters=it, prox=prox, aa_interval=args.aa_interval,
+            fft_mode=args.fft_mode, prox_impl=args.prox_impl,
         )
         extra = f" (anderson: r_norm={float(jnp.max(diag.r_norm)):.5f})"
     else:
         restored = adt.tv_deconvolve(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
             iters=args.iters, prox=prox, fft_mode=args.fft_mode,
-            prox_impl=args.prox_impl,
+            prox_impl=args.prox_impl, state_dtype=sdt,
         )
         extra = ""
     restored = jnp.clip(restored, 0.0, 1.0)

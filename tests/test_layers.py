@@ -27,6 +27,26 @@ class TestForward:
         expected = tv_deconvolve(x, None, lam=0.05, rho=0.5, iters=10)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
 
+    def test_state_dtype_inference_knob(self, rng):
+        """Round-4 deployment knob: bf16 loop-carry storage through the
+        layer (inference only; the solver validates the path)."""
+        x = _x(rng)
+        base = ADMMDeconv(
+            kernel_shape=(), iters=10, lam_init=0.05, rho_init=0.5,
+            fft_mode="fold1", prox_impl="pallas",
+        )
+        fast = ADMMDeconv(
+            kernel_shape=(), iters=10, lam_init=0.05, rho_init=0.5,
+            fft_mode="fold1", prox_impl="pallas", state_dtype="bfloat16",
+        )
+        params = base.init(jax.random.PRNGKey(0), x)
+        out32 = base.apply(params, x)
+        out16 = fast.apply(params, x)
+        assert out16.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out16), np.asarray(out32), atol=2e-2
+        )
+
     def test_kernel_mode_shapes(self, rng):
         x = _x(rng)
         layer = ADMMDeconv(kernel_shape=(5, 5), iters=5)

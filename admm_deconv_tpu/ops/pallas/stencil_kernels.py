@@ -19,13 +19,24 @@ returning ``(q, ux', uy')``.  ``z`` never exists in HBM: with plain ADMM
 solver's scan carry drops from 5 planes to 3 and each iteration's non-DFT
 part becomes 3 reads + 3 writes (see ``ops/solver.py``'s fast path).
 
-Halo handling: the grid is (planes, H/block) with W kept whole, so the two
-circular W-rolls stay inside the block; the H-direction needs one row above
-(for ``D_y x``) and one row below (the adjoint consumes ``w[i+1]``, and
-``w`` depends pointwise on x/ux/uy one row down).  Neighbor rows are read by
-passing the same operands again under block-index maps shifted by ±1 mod
-G — a 1-row-per-block redundant read, costing far less than a separate XLA
-roll materialization.
+Halo handling: W is kept whole so the two circular W-rolls stay inside a
+block; the H-direction needs one row above (for ``D_y x``) and one row
+below (the adjoint consumes ``w[i+1]``, and ``w`` depends pointwise on
+x/ux/uy one row down).  Two executions exist:
+
+* the BLOCKED form (grid ``(planes, H/block)``): neighbor rows are read by
+  passing the same operands again under block-index maps shifted by ±1
+  mod G.  Beware: those ±1 operands fetch WHOLE neighbor blocks, so ``x``
+  streams from HBM 3x and the duals 2x — round 4 measured this at ~1.8 ms
+  per 1080p-batch-4 iteration against ~0.8 ms of unavoidable traffic.
+  Kept as the auto-pipelined fallback and the backward kernel's form.
+* the manual-DMA form (``_fwd_kernel_dma``; grid ``(planes,)``, inner
+  double-buffered loop): overlapping ``(bm + 2)``-row windows are copied
+  HBM->VMEM explicitly (8-row-aligned halo blocks — Mosaic requires DMA
+  slices aligned to the (8,128) tiling), so each row is read once.
+  Bit-exact vs the blocked form on TPU; the default forward everywhere a
+  DMA-sized row block exists (stencil component 2.03 -> 1.69 ms/iter,
+  full 1080p solve 249 -> 260 iters/s bf16-state / 206 -> 215 fp32).
 
 ``tau`` may be a scalar or a per-plane ``(N,)`` vector (SMEM-resident,
 indexed by the plane grid axis) — the per-image / per-branch threshold the
@@ -61,6 +72,10 @@ from admm_deconv_tpu.ops.pallas.prox_math import MODES, prox_apply, prox_vjp
 # ~16 MB; the backward pipelines 17, so it gets a smaller budget.
 _BLOCK_BYTES = 512 * 1024
 _BLOCK_BYTES_BWD = 256 * 1024
+# The manual-DMA forward keeps only ~10 scratch buffers of its own choosing
+# in VMEM, so its row blocks can be much larger (fewer blocks -> smaller
+# 8-row-halo overhead fraction and fewer DMA issues).
+_BLOCK_BYTES_DMA = 1024 * 1024
 
 
 def _pick_block_rows(h: int, w: int, itemsize: int = 4, budget: int = _BLOCK_BYTES) -> int | None:
@@ -94,13 +109,12 @@ def _tau_plane_vector(tau, n: int, dtype):
     return None
 
 
-def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
-    """Shared forward body given the halo-extended operand rows:
-    ``x_ext`` rows [r0-1, r1], ``ux_e``/``uy_e`` rows [r0, r1].
-
-    Arithmetic always runs in fp32 inside VMEM; operands/outputs may be
-    stored in bf16 (the mixed-precision carry path, ``state_dtype`` in the
-    solver) — the casts below are no-ops for fp32 refs."""
+def _stencil_math(mode, tau, x_ext, ux_e, uy_e):
+    """The fused D -> prox -> dual -> D^T arithmetic on halo-extended rows:
+    ``x_ext`` rows [r0-1, r1] (BM+2, W), ``ux_e``/``uy_e`` rows [r0, r1]
+    (BM+1, W).  Always computes in fp32 (inputs may be stored bf16 — the
+    casts are no-ops for fp32).  Returns ``(q, ux', uy')`` rows [r0, r1-1]
+    (BM, W) in fp32."""
     f32 = jnp.float32
     x_lo = x_ext[1:].astype(f32)  # rows [r0, r1] — (BM+1, W)
     dxy = x_lo - x_ext[:-1].astype(f32)
@@ -115,9 +129,16 @@ def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
     wx0 = wx[:-1]
     # pltpu.roll requires a non-negative shift: roll by W-1 == roll by -1.
     q = (wx0 - pltpu.roll(wx0, wx0.shape[1] - 1, axis=1)) + (wy[:-1] - wy[1:])
+    return q, ux_new[:-1], uy_new[:-1]
+
+
+def _stencil_core(mode, tau, x_ext, ux_e, uy_e, q_ref, uxo_ref, uyo_ref):
+    """Shared forward body given the halo-extended operand rows (see
+    :func:`_stencil_math`); stores the results in the refs' dtypes."""
+    q, ux_new, uy_new = _stencil_math(mode, tau, x_ext, ux_e, uy_e)
     q_ref[0] = q.astype(q_ref.dtype)
-    uxo_ref[0] = ux_new[:-1].astype(uxo_ref.dtype)
-    uyo_ref[0] = uy_new[:-1].astype(uyo_ref.dtype)
+    uxo_ref[0] = ux_new.astype(uxo_ref.dtype)
+    uyo_ref[0] = uy_new.astype(uyo_ref.dtype)
 
 
 def _fwd_kernel(
@@ -469,6 +490,18 @@ def _make_diff_stencil(mode: str, interpret: bool):
         tau_n1 = jnp.broadcast_to(
             jnp.asarray(tau, x.dtype).reshape(-1, 1), (x.shape[0], 1)
         )
+        # The manual-DMA forward is bit-exact vs the blocked form (measured
+        # on TPU) and reads each input row once instead of 3x/2x — use it
+        # whenever a DMA-sized row block exists.  Interpret mode (CPU
+        # tests) keeps the blocked form: the DMA emulation is slow there
+        # and buys nothing (the DMA path's interpret coverage lives in the
+        # explicit fused_admm_stencil_mixed tests).
+        n, h, w = x.shape
+        bm = _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_DMA)
+        # Mosaic HBM DMA slices must be lane-aligned: W % 128 (small model
+        # shapes like 112x112 fall back to the blocked form).
+        if bm is not None and w % 128 == 0 and not interpret:
+            return _fwd_pallas_dma(x, ux, uy, tau_n1, mode, interpret, bm)
         return _fwd_pallas(x, ux, uy, tau_n1, mode, interpret)
 
     def fwd(x, ux, uy, tau):
@@ -534,6 +567,162 @@ def fused_admm_stencil(
     return _make_diff_stencil(mode, _default_interpret(interpret))(x, ux, uy, tau_c)
 
 
+def _fwd_kernel_dma(
+    mode, bm, g, h, tau_ref, x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm, uyo_hbm
+):
+    """Manual-DMA forward stencil: one grid step per PLANE, an inner
+    double-buffered loop over row blocks with OVERLAPPING (bm+2)-row
+    windows copied HBM -> VMEM.
+
+    Why: the blocked auto-pipelined form (``_fwd_kernel``) reads the ±1
+    neighbor operands as whole blocks, so ``x`` is fetched 3x and the
+    duals 2x — measured ~1.8 ms/iteration at 1080p-batch-4 against
+    ~0.8 ms of unavoidable traffic.  Manual windows fetch each row once
+    (+2 halo rows per block): ~500 MB -> ~355 MB per iteration at the
+    bench shape.  In- and out-copies are double-buffered so DMA overlaps
+    the VPU compute, reproducing the automatic pipeline's latency hiding.
+    """
+    i = pl.program_id(0)
+    tau = tau_ref[i, 0]
+
+    def body(xw, xt, xb, uxw, uxb8, uyw, uyb8, qb, uxb, uyb, in_sems,
+             out_sems):
+        # HBM DMA slices must be 8-row aligned (the fp32 (8,128) tiling), so
+        # halo rows ride 8-row aligned blocks: the TOP halo is the 8 rows
+        # ending at the block start (its LAST row is x[r0-1]) and the
+        # BOTTOM halo the 8 rows starting at the block end (FIRST row is
+        # x[r1+1]/u[r1+1]).  bm % 8 == 0 keeps every offset aligned.
+        def in_dmas(j, slot):
+            # pl.multiple_of: the modular-wrap offsets are 8-row aligned
+            # (bm % 8 == 0, h % 8 == 0) but Mosaic's divisibility prover
+            # cannot see through `%`, so assert it.
+            top8 = pl.multiple_of((j * bm - 8) % h, 8)
+            bot8 = pl.multiple_of(((j + 1) * bm) % h, 8)
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[i, pl.ds(top8, 8)], xt.at[slot],
+                    in_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    x_hbm.at[i, pl.ds(j * bm, bm)], xw.at[slot],
+                    in_sems.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    x_hbm.at[i, pl.ds(bot8, 8)], xb.at[slot],
+                    in_sems.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    ux_hbm.at[i, pl.ds(j * bm, bm)], uxw.at[slot],
+                    in_sems.at[slot, 3],
+                ),
+                pltpu.make_async_copy(
+                    ux_hbm.at[i, pl.ds(bot8, 8)], uxb8.at[slot],
+                    in_sems.at[slot, 4],
+                ),
+                pltpu.make_async_copy(
+                    uy_hbm.at[i, pl.ds(j * bm, bm)], uyw.at[slot],
+                    in_sems.at[slot, 5],
+                ),
+                pltpu.make_async_copy(
+                    uy_hbm.at[i, pl.ds(bot8, 8)], uyb8.at[slot],
+                    in_sems.at[slot, 6],
+                ),
+            )
+
+        def out_dmas(j, slot):
+            return (
+                pltpu.make_async_copy(
+                    qb.at[slot], q_hbm.at[i, pl.ds(j * bm, bm)],
+                    out_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    uxb.at[slot], uxo_hbm.at[i, pl.ds(j * bm, bm)],
+                    out_sems.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    uyb.at[slot], uyo_hbm.at[i, pl.ds(j * bm, bm)],
+                    out_sems.at[slot, 2],
+                ),
+            )
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def loop(j, carry):
+            slot = j % 2
+
+            @pl.when(j + 1 < g)
+            def _():
+                for d in in_dmas(j + 1, (j + 1) % 2):
+                    d.start()
+
+            for d in in_dmas(j, slot):
+                d.wait()
+            # The staging slot is reused every 2 iterations: drain its
+            # previous out-copies before overwriting.
+            @pl.when(j >= 2)
+            def _():
+                for d in out_dmas(j - 2, slot):
+                    d.wait()
+            x_ext = jnp.concatenate(
+                [xt[slot, -1:], xw[slot], xb[slot, :1]], axis=0
+            )
+            ux_e = jnp.concatenate([uxw[slot], uxb8[slot, :1]], axis=0)
+            uy_e = jnp.concatenate([uyw[slot], uyb8[slot, :1]], axis=0)
+            q, uxn, uyn = _stencil_math(mode, tau, x_ext, ux_e, uy_e)
+            qb[slot] = q.astype(qb.dtype)
+            uxb[slot] = uxn.astype(uxb.dtype)
+            uyb[slot] = uyn.astype(uyb.dtype)
+            for d in out_dmas(j, slot):
+                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, g, loop, 0)
+
+        @pl.when(g >= 2)
+        def _():
+            for d in out_dmas(g - 2, (g - 2) % 2):
+                d.wait()
+
+        for d in out_dmas(g - 1, (g - 1) % 2):
+            d.wait()
+
+    w = x_hbm.shape[-1]
+    pl.run_scoped(
+        body,
+        xw=pltpu.VMEM((2, bm, w), x_hbm.dtype),
+        xt=pltpu.VMEM((2, 8, w), x_hbm.dtype),
+        xb=pltpu.VMEM((2, 8, w), x_hbm.dtype),
+        uxw=pltpu.VMEM((2, bm, w), ux_hbm.dtype),
+        uxb8=pltpu.VMEM((2, 8, w), ux_hbm.dtype),
+        uyw=pltpu.VMEM((2, bm, w), uy_hbm.dtype),
+        uyb8=pltpu.VMEM((2, 8, w), uy_hbm.dtype),
+        qb=pltpu.VMEM((2, bm, w), q_hbm.dtype),
+        uxb=pltpu.VMEM((2, bm, w), uxo_hbm.dtype),
+        uyb=pltpu.VMEM((2, bm, w), uyo_hbm.dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 7)),
+        out_sems=pltpu.SemaphoreType.DMA((2, 3)),
+    )
+
+
+def _fwd_pallas_dma(x, ux, uy, tau_n1, mode, interpret, bm):
+    n, h, w = x.shape
+    g = h // bm
+    out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_dma, mode, bm, g, h),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            any_spec, any_spec, any_spec,
+        ],
+        out_specs=(any_spec, any_spec, any_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(tau_n1, x, ux, uy)
+
+
 def fused_admm_stencil_mixed(
     x: jnp.ndarray,
     ux: jnp.ndarray,
@@ -541,17 +730,24 @@ def fused_admm_stencil_mixed(
     tau,
     mode: str = "aniso",
     interpret: bool | None = None,
+    impl: str = "dma",
 ):
     """Mixed-precision-storage variant of :func:`fused_admm_stencil`.
 
     ``x`` stays fp32 (it is the spectral solve's fresh output); the carried
     duals ``ux``/``uy`` — and the emitted ``(q, ux', uy')`` — live in a
     narrower storage dtype (bfloat16).  All arithmetic still runs in fp32
-    inside VMEM (see ``_stencil_core``); only the HBM-resident loop state
+    inside VMEM (see ``_stencil_math``); only the HBM-resident loop state
     narrows, halving the stencil section's HBM traffic — which is what
     bounds it (the solver's ``state_dtype`` option).  Forward-only: no
     custom VJP (differentiating through it raises), so the solver gates it
     to inference solves.
+
+    ``impl="dma"`` (default) uses the manual double-buffered DMA kernel
+    (:func:`_fwd_kernel_dma`): overlapping halo windows read each input
+    row exactly once, where the blocked form's ±1 neighbor-block operands
+    fetch ``x`` 3x and the duals 2x; ``impl="blocked"`` keeps the
+    auto-pipelined form (the A/B comparator).
     """
     if x.ndim != 3:
         raise ValueError(f"expected (N, H, W), got {x.shape}")
@@ -570,6 +766,13 @@ def fused_admm_stencil_mixed(
     tau_n1 = jnp.broadcast_to(
         jnp.asarray(tau_c, jnp.float32).reshape(-1, 1), (n, 1)
     )
+    if impl == "dma":
+        bm = _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_DMA)
+        if bm is not None and w % 128 == 0:
+            return _fwd_pallas_dma(
+                x, ux, uy, tau_n1, mode, _default_interpret(interpret), bm
+            )
+        # Lane-unaligned W: the blocked form handles it (whole-W blocks).
     return _fwd_pallas(x, ux, uy, tau_n1, mode, _default_interpret(interpret))
 
 

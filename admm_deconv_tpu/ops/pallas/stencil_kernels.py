@@ -567,6 +567,20 @@ def fused_admm_stencil(
     return _make_diff_stencil(mode, _default_interpret(interpret))(x, ux, uy, tau_c)
 
 
+def _fwd_kernel_halo_dma(
+    mode, bm, g, h, tau_ref, xt_ref, xb_ref, uxb_ref, uyb_ref,
+    x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm, uyo_hbm
+):
+    """Manual-DMA forward over an H-TILE: identical to
+    :func:`_fwd_kernel_dma` except the global wrap rows of the first/last
+    block come from caller-provided neighbor-tile halo rows (the tiled
+    solver's ppermute payloads), read as ordinary VMEM blocks."""
+    _fwd_dma_body(
+        mode, bm, g, h, tau_ref, x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm,
+        uyo_hbm, halos=(xt_ref, xb_ref, uxb_ref, uyb_ref),
+    )
+
+
 def _fwd_kernel_dma(
     mode, bm, g, h, tau_ref, x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm, uyo_hbm
 ):
@@ -582,6 +596,16 @@ def _fwd_kernel_dma(
     bench shape.  In- and out-copies are double-buffered so DMA overlaps
     the VPU compute, reproducing the automatic pipeline's latency hiding.
     """
+    _fwd_dma_body(
+        mode, bm, g, h, tau_ref, x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm,
+        uyo_hbm, halos=None,
+    )
+
+
+def _fwd_dma_body(
+    mode, bm, g, h, tau_ref, x_hbm, ux_hbm, uy_hbm, q_hbm, uxo_hbm,
+    uyo_hbm, halos,
+):
     i = pl.program_id(0)
     tau = tau_ref[i, 0]
 
@@ -664,11 +688,31 @@ def _fwd_kernel_dma(
             def _():
                 for d in out_dmas(j - 2, slot):
                     d.wait()
-            x_ext = jnp.concatenate(
-                [xt[slot, -1:], xw[slot], xb[slot, :1]], axis=0
-            )
-            ux_e = jnp.concatenate([uxw[slot], uxb8[slot, :1]], axis=0)
-            uy_e = jnp.concatenate([uyw[slot], uyb8[slot, :1]], axis=0)
+            top_row = xt[slot, -1:]
+            bot_x = xb[slot, :1]
+            bot_ux = uxb8[slot, :1]
+            bot_uy = uyb8[slot, :1]
+            if halos is not None:
+                # Tile variant: the first/last block's wrap rows come from
+                # the neighbor tiles (explicit halo rows), replacing the
+                # local circular wrap the DMAs fetched.
+                xt_r, xb_r, uxb_r, uyb_r = halos
+                f32 = jnp.float32
+                top_row = jnp.where(
+                    j == 0, xt_r[0].astype(f32), top_row.astype(f32)
+                )
+                bot_x = jnp.where(
+                    j == g - 1, xb_r[0].astype(f32), bot_x.astype(f32)
+                )
+                bot_ux = jnp.where(
+                    j == g - 1, uxb_r[0].astype(f32), bot_ux.astype(f32)
+                )
+                bot_uy = jnp.where(
+                    j == g - 1, uyb_r[0].astype(f32), bot_uy.astype(f32)
+                )
+            x_ext = jnp.concatenate([top_row, xw[slot], bot_x], axis=0)
+            ux_e = jnp.concatenate([uxw[slot], bot_ux], axis=0)
+            uy_e = jnp.concatenate([uyw[slot], bot_uy], axis=0)
             q, uxn, uyn = _stencil_math(mode, tau, x_ext, ux_e, uy_e)
             qb[slot] = q.astype(qb.dtype)
             uxb[slot] = uxn.astype(uxb.dtype)
@@ -837,6 +881,32 @@ def fused_admm_stencil_halo(
         return jax.lax.pcast(a, missing, to="varying") if missing else a
 
     tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy = map(_promote, args)
+    bm_dma = _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_DMA)
+    if (
+        bm_dma is not None
+        and w % 128 == 0
+        and not _default_interpret(interpret)
+    ):
+        # Manual-DMA tile variant: each row read once (see _fwd_kernel_dma);
+        # the neighbor-tile halo rows ride ordinary VMEM row blocks.
+        g = h // bm_dma
+        row = pl.BlockSpec(
+            (1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype, vma=vma)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_halo_dma, mode, bm_dma, g, h),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                row, row, row, row,
+                any_spec, any_spec, any_spec,
+            ],
+            out_specs=(any_spec, any_spec, any_spec),
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=False,
+        )(tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy)
     g = h // bm
     grid = (n, g)
     blk = lambda off: pl.BlockSpec(  # noqa: E731

@@ -831,6 +831,7 @@ def fused_admm_stencil_halo(
     tau,
     mode: str = "aniso",
     interpret: bool | None = None,
+    impl: str = "auto",
 ):
     """:func:`fused_admm_stencil` over an H-TILE of a larger image.
 
@@ -882,11 +883,23 @@ def fused_admm_stencil_halo(
 
     tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy = map(_promote, args)
     bm_dma = _pick_block_rows(h, w, x.dtype.itemsize, budget=_BLOCK_BYTES_DMA)
-    if (
+    # impl: "auto" = DMA when eligible and compiled (interpret emulation of
+    # manual DMA is slow, so CPU runs keep the blocked form); "dma" forces
+    # the manual-DMA kernel even under interpret (regression coverage);
+    # "blocked" forces the auto-pipelined form (A/B comparator).
+    if impl not in ("auto", "dma", "blocked"):
+        raise ValueError(f"impl must be auto|dma|blocked, got {impl!r}")
+    use_dma = (
         bm_dma is not None
         and w % 128 == 0
-        and not _default_interpret(interpret)
-    ):
+        and (impl == "dma" or (impl == "auto" and not _default_interpret(interpret)))
+    )
+    if impl == "dma" and not use_dma:
+        raise ValueError(
+            f"impl='dma' requires W % 128 == 0 and a usable row block "
+            f"(H={h}, W={w})"
+        )
+    if use_dma:
         # Manual-DMA tile variant: each row read once (see _fwd_kernel_dma);
         # the neighbor-tile halo rows ride ordinary VMEM row blocks.
         g = h // bm_dma
@@ -905,7 +918,7 @@ def fused_admm_stencil_halo(
             ],
             out_specs=(any_spec, any_spec, any_spec),
             out_shape=(out_shape, out_shape, out_shape),
-            interpret=False,
+            interpret=_default_interpret(interpret),
         )(tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy)
     g = h // bm
     grid = (n, g)

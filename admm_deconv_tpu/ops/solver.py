@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from admm_deconv_tpu.ops import prox as prox_lib
+from admm_deconv_tpu.ops.policy import policy
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
 from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf, psf_to_otf_full
 from admm_deconv_tpu.ops.fft_factored import real_filter2d_packed, spectrum_to_layout
@@ -113,20 +114,26 @@ def resolve_fft_mode(fft_mode: str, adaptive: bool = False) -> str:
     adaptive solver passes ``adaptive=False`` for ``check_every >= 4``).
     On CPU the native XLA FFT wins (the MXU DFT-by-matmul ladder is a TPU
     design).  Any explicit mode passes through untouched.
+
+    Every constant here is a hardware measurement with an override surface
+    (env ``ADMM_TPU_*`` / :func:`admm_deconv_tpu.ops.policy.set_policy`) —
+    see ``ops/policy.py`` for provenance and the re-tuning recipe.
     """
     if fft_mode != "auto":
         return fft_mode
     if jax.default_backend() == "cpu":
         return "xla"
-    return "fold" if adaptive else "fold1"
+    p = policy()
+    return p.fft_mode_tpu_adaptive if adaptive else p.fft_mode_tpu
 
 
 def resolve_prox_impl(prox_impl: str) -> str:
     """Resolve ``"auto"``: the fused Pallas stencil on accelerators, the
-    XLA-fused jnp composition on CPU (interpreted Pallas is slow there)."""
+    XLA-fused jnp composition on CPU (interpreted Pallas is slow there).
+    Overridable — see ``ops/policy.py``."""
     if prox_impl != "auto":
         return prox_impl
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return "xla" if jax.default_backend() == "cpu" else policy().prox_impl_accel
 
 
 def _fft_precision(fft_mode: str):
@@ -703,6 +710,9 @@ def tv_deconvolve(
         "alpha",
         "return_state",
         "state_dtype",
+        # eps_abs is static: "auto" fft-mode resolution branches on it (the
+        # deep-tolerance fold switch), and tolerances are config constants.
+        "eps_abs",
     ),
 )
 def tv_deconvolve_adaptive(
@@ -787,9 +797,20 @@ def tv_deconvolve_adaptive(
     Returns ``(x, ADMMDiagnostics)`` where the diagnostics carry the TRUE
     final primal and dual residual norms from the last convergence check.
     """
-    # "auto" resolves to fold1 when the block length amortizes the per-block
-    # exact x_B re-hoist (round-4 measurement, see resolve_fft_mode).
-    fft_mode = resolve_fft_mode(fft_mode, adaptive=check_every < 4)
+    # "auto" resolves to fold1 only when (a) the block length amortizes the
+    # per-block exact x_B re-hoist (check_every >= 4) AND (b) the tolerance
+    # is not deep: below eps_abs ~1e-4 the bf16x1 mid-block iterate noise
+    # floors above the stopping threshold (measured 512^2 eps 1e-5/1e-4:
+    # fold1 capped at 400 iterations where fold stopped at 128 —
+    # BENCH_SUITE_r4 ttq_deep_512), so deep requests get the bf16x3 fold
+    # DFT here directly, not just via solve_auto.
+    fft_mode = resolve_fft_mode(
+        fft_mode,
+        adaptive=(
+            check_every < policy().adaptive_fold1_min_check_every
+            or eps_abs < policy().deep_eps_abs
+        ),
+    )
     prox_impl = resolve_prox_impl(prox_impl)
     if fft_mode not in _FFT_MODES:
         raise ValueError(f"fft_mode must be one of {_FFT_MODES}, got {fft_mode!r}")
@@ -1493,11 +1514,14 @@ def solve_auto(
 
     Returns ``(x, ADMMDiagnostics)`` for every branch.
     """
-    def bf16_state_ok(check_every):
-        """bf16 carry eligibility: TPU, the fast mid-loop engaged, and the
-        Pallas row block available (mirrors the solver's own gate so
-        solve_auto never trips its validation)."""
-        if jax.default_backend() == "cpu" or check_every <= 1:
+    def fast_mid_ok(check_every):
+        """Fast-mid-loop eligibility: an accelerator backend (prox "auto"
+        resolves to the Pallas kernels), a named prox mode, and a usable
+        Pallas row block (mirrors the adaptive solver's own gate so
+        solve_auto never configures a block the solver would Python-unroll
+        — a check_every=iters block with the fast loop ineligible traces
+        iters-1 spectral solves into the while-loop body)."""
+        if resolve_prox_impl("auto") != "pallas" or check_every <= 1:
             return False
         if not (isinstance(prox, str) and prox in _PALLAS_PROX_MODES):
             return False
@@ -1507,20 +1531,36 @@ def solve_auto(
         hh, ww = (shape[0], shape[1]) if len(shape) == 2 else shape[-3:-1]
         return _pick_block_rows(hh, ww, 4) is not None
 
+    bf16_state_ok = (
+        lambda check_every: policy().bf16_state_on_tpu
+        and jax.default_backend() != "cpu"
+        and fast_mid_ok(check_every)
+    )
+
     if iters is not None:
         # One check_every=iters block: the whole budget runs the q-carry +
         # fused-stencil fast mid-loop (requesting diagnostics from
         # tv_deconvolve would fall back to its 5-plane loop) and the single
         # end-of-run check yields TRUE final residual norms for free.  On
         # TPU the mid-loop carry is stored bf16 (parity-grade, +20%
-        # throughput — BASELINE.md round 4).
+        # throughput — BASELINE.md round 4).  When the fast mid-loop cannot
+        # engage (CPU backend, callable prox, no row block) the scan-based
+        # fixed solver takes over instead — the adaptive body would
+        # Python-unroll all iters-1 mid iterations into one giant trace.
+        if not fast_mid_ok(iters):
+            x, diags = tv_deconvolve(
+                y, psf, lam, rho, iters=iters, prox=prox, x_bounds=x_bounds,
+                return_diagnostics=True,
+            )
+            return x, diags
         return tv_deconvolve_adaptive(
             y, psf, lam, rho, max_iters=iters, prox=prox, x_bounds=x_bounds,
             eps_abs=0.0, eps_rel=0.0, adapt_rho=False, check_every=iters,
             state_dtype="bfloat16" if bf16_state_ok(iters) else None,
         )
-    deep = eps_abs < 1e-4
-    check_every = 8 if max_iters % 8 == 0 and max_iters >= 8 else 1
+    deep = eps_abs < policy().deep_eps_abs
+    k = policy().solve_auto_check_every
+    check_every = k if max_iters % k == 0 and max_iters >= k else 1
     # Deep tolerances keep fp32 state AND the bf16x3 fold DFT: any bf16
     # iterate noise floors above the stopping threshold there (measured).
     narrow = not deep and bf16_state_ok(check_every)

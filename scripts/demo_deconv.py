@@ -126,6 +126,15 @@ def main(argv=None):
     prox = "iso" if args.iso else "aniso"
 
     sdt = "bfloat16" if args.bf16_state else None
+    if args.bf16_state and (args.anderson or args.l1 > 0 or args.auto):
+        # --auto decides bf16 state on its own; the Anderson/composite
+        # branches have no state_dtype surface — honor the principle of
+        # least surprise and say so instead of silently dropping the flag.
+        p.error(
+            "--bf16-state applies to the plain and --adaptive solvers only "
+            "(--auto chooses it automatically; --anderson/--l1 do not "
+            "support it)"
+        )
     t0 = time.time()
     if args.auto:
         restored, diag = adt.solve_auto(
@@ -134,9 +143,14 @@ def main(argv=None):
         )
         extra = f" (solve_auto: {int(diag.iterations)} iters)"
     elif args.adaptive:
+        # bf16 state needs the fast mid-loop (check_every > 1); round the
+        # cap up so the block length divides it.
+        ck = 8 if sdt else 1
+        mi = ((args.iters * 3 + ck - 1) // ck) * ck
         restored, diag = adt.tv_deconvolve_adaptive(
             batch, psf=jnp.asarray(psf), lam=args.lam, rho=args.rho,
-            max_iters=args.iters * 3, prox=prox, fft_mode=args.fft_mode,
+            max_iters=mi, prox=prox, fft_mode=args.fft_mode,
+            check_every=ck, state_dtype=sdt,
         )
         extra = f" (adaptive: {int(diag.iterations)} iters, rho[0]={float(diag.rho[0]):.4f})"
     elif args.l1 > 0:

@@ -305,3 +305,113 @@ class TestFastPathEquivalence:
             )
         )(y)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestDMAKernels:
+    """Interpret-mode regression coverage for the round-4 manual-DMA
+    forward kernels (``_fwd_pallas_dma`` / ``_fwd_kernel_halo_dma``): the
+    default compiled forward whenever W % 128 == 0, previously validated
+    only by the on-TPU parity artifact.  ``impl='dma'`` forces the DMA
+    path under the interpreter; the blocked form and the jnp composition
+    are the oracles."""
+
+    # (2, 24, 128): single row block (g=1, wrap halos).  (1, 256, 2048):
+    # two row blocks — exercises the double-buffered slot reuse and the
+    # modular top/bottom 8-row halo DMAs.
+    SHAPES = [(2, 24, 128), (1, 256, 2048)]
+
+    @pytest.mark.parametrize("shape", SHAPES, ids=["g1", "g2"])
+    @pytest.mark.parametrize("dual_dtype", ["float32", "bfloat16"])
+    def test_mixed_dma_matches_blocked_and_jnp(self, rng, shape, dual_dtype):
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            fused_admm_stencil_mixed,
+        )
+
+        dt = jnp.dtype(dual_dtype)
+        x = _mk(rng, shape)
+        ux = (_mk(rng, shape) * 0.1).astype(dt)
+        uy = (_mk(rng, shape) * 0.1).astype(dt)
+        tau = jnp.asarray(rng.uniform(0.1, 0.5, (shape[0],)), jnp.float32)
+        dma = fused_admm_stencil_mixed(
+            x, ux, uy, tau, impl="dma", interpret=True
+        )
+        blk = fused_admm_stencil_mixed(
+            x, ux, uy, tau, impl="blocked", interpret=True
+        )
+        for a, b in zip(dma, blk):
+            assert a.dtype == dt
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # jnp oracle on the fp32-cast duals; outputs rounded to the carry
+        # dtype — the kernels' computation contract.
+        want = _jnp_stencil(
+            x, ux.astype(jnp.float32), uy.astype(jnp.float32), tau, "aniso"
+        )
+        for a, w in zip(dma, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32),
+                np.asarray(w.astype(dt), np.float32),
+                atol=1e-5,
+            )
+
+    @pytest.mark.parametrize("dual_dtype", ["float32", "bfloat16"])
+    def test_halo_dma_matches_blocked(self, rng, dual_dtype):
+        """The tiled solver's DMA halo variant, forced under interpret, on
+        a 2-tile decomposition: bit-exact vs the blocked halo form and the
+        circular whole-image kernel."""
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            fused_admm_stencil_halo,
+            fused_admm_stencil_mixed,
+        )
+
+        dt = jnp.dtype(dual_dtype)
+        n, h, w = 2, 48, 128
+        x = _mk(rng, (n, h, w))
+        ux = (_mk(rng, (n, h, w)) * 0.1).astype(dt)
+        uy = (_mk(rng, (n, h, w)) * 0.1).astype(dt)
+        tau = jnp.asarray(rng.uniform(0.1, 0.5, (n,)), jnp.float32)
+        ref = fused_admm_stencil_mixed(
+            x, ux, uy, tau, impl="blocked", interpret=True
+        )
+        T, ht = 2, h // 2
+        outs = {"dma": [], "blocked": []}
+        for t in range(T):
+            sl = slice(t * ht, (t + 1) * ht)
+            halo = (
+                x[:, (t * ht - 1) % h][:, None, :],
+                x[:, ((t + 1) * ht) % h][:, None, :],
+                ux[:, ((t + 1) * ht) % h][:, None, :],
+                uy[:, ((t + 1) * ht) % h][:, None, :],
+            )
+            for impl in outs:
+                outs[impl].append(
+                    fused_admm_stencil_halo(
+                        x[:, sl], ux[:, sl], uy[:, sl], *halo, tau,
+                        interpret=True, impl=impl,
+                    )
+                )
+        for impl, tiles in outs.items():
+            for k, r in enumerate(ref):
+                tiled = jnp.concatenate([o[k] for o in tiles], axis=1)
+                assert tiled.dtype == dt, impl
+                np.testing.assert_array_equal(
+                    np.asarray(tiled), np.asarray(r), err_msg=impl
+                )
+
+    def test_halo_impl_validation(self, rng):
+        from admm_deconv_tpu.ops.pallas.stencil_kernels import (
+            fused_admm_stencil_halo,
+        )
+
+        n, h, w = 1, 16, 64  # W % 128 != 0 -> no DMA path
+        x, ux, uy = (_mk(rng, (n, h, w)) for _ in range(3))
+        row = jnp.zeros((n, 1, w), jnp.float32)
+        with pytest.raises(ValueError, match="impl='dma'"):
+            fused_admm_stencil_halo(
+                x, ux, uy, row, row, row, row, 0.3, interpret=True,
+                impl="dma",
+            )
+        with pytest.raises(ValueError, match="impl must be"):
+            fused_admm_stencil_halo(
+                x, ux, uy, row, row, row, row, 0.3, interpret=True,
+                impl="bogus",
+            )

@@ -69,10 +69,11 @@ class ADMMDeconv(nn.Module):
         D->prox->dual->D^T TPU kernel, differentiable via its custom-VJP
         backward kernel (``ops/pallas/stencil_kernels.py``).
       state_dtype: optional bf16 STORAGE for the solver's loop carry
-        (``tv_deconvolve``'s ``state_dtype``) — an INFERENCE deployment
-        knob (+20% measured solver throughput on TPU, parity-grade);
-        differentiating a layer with it set raises (the mixed-storage
-        kernel has no VJP), so leave None for training.
+        (``tv_deconvolve``'s ``state_dtype``): +20% measured solver
+        throughput on TPU at parity-grade accuracy.  Trainable (round 5):
+        the mixed-storage kernel carries a custom VJP (fp32 arithmetic on
+        bf16-stored state/cotangents), so it is a deployment AND training
+        knob; gradient quantization is the same order as the forward's.
       diff_mode: "unroll" backpropagates through the ``lax.scan`` iterations
         (exact gradient of the truncated solver; required for trainable rho);
         "implicit" differentiates the converged fixed point with the
@@ -190,6 +191,7 @@ def ADMMDeconvF1(
     remat: bool = False,
     fft_mode: str = "auto",
     prox_impl: str = "auto",
+    state_dtype: str | None = None,
 ) -> ADMMDeconv:
     """Fixed lam; trainable weight/bias/rho (reference ``deconv_admm.jl:31-55``)."""
     if lam <= 0:
@@ -207,6 +209,7 @@ def ADMMDeconvF1(
         remat=remat,
         fft_mode=fft_mode,
         prox_impl=prox_impl,
+        state_dtype=state_dtype,
     )
 
 
@@ -222,6 +225,7 @@ def ADMMDeconvF2(
     remat: bool = False,
     fft_mode: str = "auto",
     prox_impl: str = "auto",
+    state_dtype: str | None = None,
 ) -> ADMMDeconv:
     """Fixed rho; trainable weight/bias/lam (reference ``deconv_admm.jl:83-107``)."""
     if rho <= 0:
@@ -239,6 +243,7 @@ def ADMMDeconvF2(
         remat=remat,
         fft_mode=fft_mode,
         prox_impl=prox_impl,
+        state_dtype=state_dtype,
     )
 
 
@@ -255,6 +260,7 @@ def ADMMDeconvF3(
     remat: bool = False,
     fft_mode: str = "auto",
     prox_impl: str = "auto",
+    state_dtype: str | None = None,
 ) -> ADMMDeconv:
     """Fixed lam and rho; trainable weight/bias only (``deconv_admm.jl:135-161``)."""
     if lam <= 0:
@@ -274,4 +280,5 @@ def ADMMDeconvF3(
         remat=remat,
         fft_mode=fft_mode,
         prox_impl=prox_impl,
+        state_dtype=state_dtype,
     )

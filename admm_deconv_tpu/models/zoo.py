@@ -94,6 +94,9 @@ class DenoiserBank(nn.Module):
     fused: bool = True
     fft_mode: str = "auto"
     prox_impl: str = "auto"
+    # bf16 loop-carry storage for the bank's solves (round 5: trainable —
+    # the mixed-storage kernel carries a custom VJP).
+    state_dtype: str | None = None
 
     RHOS = (0.002, 0.02, 0.2, 2.0, 4.0)
 
@@ -104,6 +107,7 @@ class DenoiserBank(nn.Module):
                 ADMMDeconvF2(
                     (), self.iters, rho, relu1, iso=self.iso,
                     fft_mode=self.fft_mode, prox_impl=self.prox_impl,
+                    state_dtype=self.state_dtype,
                 )(x)
                 for rho in self.RHOS
             ]
@@ -133,6 +137,7 @@ class DenoiserBank(nn.Module):
             prox="iso" if self.iso else "aniso",
             fft_mode=self.fft_mode,
             prox_impl=self.prox_impl,
+            state_dtype=self.state_dtype,
         )
         out = relu1(out)
         h, w, c = out.shape[1:]
@@ -155,6 +160,7 @@ class AdmmDenoiser(nn.Module):
     denoiser_iters: int = 50
     fft_mode: str = "auto"
     prox_impl: str = "auto"
+    state_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -164,6 +170,7 @@ class AdmmDenoiser(nn.Module):
                 DenoiserBank(
                     iso=self.iso, iters=self.denoiser_iters,
                     fft_mode=self.fft_mode, prox_impl=self.prox_impl,
+                    state_dtype=self.state_dtype,
                 ),
             )
         )
@@ -247,10 +254,11 @@ def build_model(name: str, cfg: dict | None = None) -> nn.Module:
     iso = bool(cfg.get("use_iso", True))
     fft_mode = str(cfg.get("fft_mode", "auto"))
     prox_impl = str(cfg.get("prox_impl", "auto"))
+    sdt = cfg.get("state_dtype")
     models = {
-        "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
+        "admm_denoiser": lambda: AdmmDenoiser(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl, state_dtype=sdt),
         "autoencoder": lambda: Autoencoder(),
-        "denoiser_bank": lambda: DenoiserBank(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
+        "denoiser_bank": lambda: DenoiserBank(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl, state_dtype=sdt),
         "multistage": lambda: MultistageUpDownscale(iso=iso, fft_mode=fft_mode, prox_impl=prox_impl),
         "deconv_bank": lambda: DeconvBank(iso=not iso, fft_mode=fft_mode, prox_impl=prox_impl),
     }

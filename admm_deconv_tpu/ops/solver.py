@@ -479,9 +479,15 @@ def tv_deconvolve(
         DFT consumes bf16 operands natively, so the only new error is the
         per-iteration bf16 quantization of the carried state (measured on
         the 256^2 blocks parity scenario: see BASELINE.md round 4).
-        Inference-only: requires the fast q-carry path (plain ADMM, named
-        prox, ``prox_impl="pallas"``, no diagnostics/state request) and has
-        no VJP.
+        Differentiable (round 5): the mixed-storage kernel carries the
+        same custom-VJP backward as the fp32 kernel (fp32 arithmetic on
+        bf16-stored residuals/cotangents), so training can ride the bf16
+        HBM savings — cotangents of the carried state are themselves
+        stored bf16 across the scan, adding a quantization term to the
+        gradient of the same order as the forward's (gradient parity
+        tests: ``tests/test_pallas.py``).  Requires the fast q-carry path
+        (plain ADMM, named prox, ``prox_impl="pallas"``, no
+        diagnostics/state request).
 
     ``fft_mode``/``prox_impl`` default to ``"auto"``: the fastest
     measured configuration for the current backend (fold1 delta-form DFT +

@@ -50,6 +50,11 @@ class TrainConfig:
     fft_mode: str = "auto"
     # "auto" = fused one-pass stencil kernel on TPU, jnp composition on CPU.
     prox_impl: str = "auto"
+    # bf16 STORAGE for the solver loop carry inside the model's ADMM layers
+    # (trainable since round 5 — the mixed kernel carries a custom VJP).
+    state_dtype: str | None = None
+    # Background batches decoded+device_put ahead of the step (0 disables).
+    prefetch_batches: int = 2
 
     def __post_init__(self):
         if self.batch_size < 1:

@@ -20,6 +20,10 @@ import json
 import time
 
 import numpy as np
+from admm_deconv_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 

@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
+from admm_deconv_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 from admm_deconv_tpu.data import DataLoader, ImageDataFeeder
 from admm_deconv_tpu.models import build_model
 from admm_deconv_tpu.parallel import distributed
@@ -64,7 +67,8 @@ def main(argv=None):
         raise SystemExit("no training images found — check the config data paths")
 
     log(f"Building model {cfg.model}")
-    model = build_model(cfg.model, {"use_iso": cfg.use_iso, "fft_mode": cfg.fft_mode})
+    model = build_model(cfg.model, {"use_iso": cfg.use_iso, "fft_mode": cfg.fft_mode,
+                                    "prox_impl": cfg.prox_impl, "state_dtype": cfg.state_dtype})
     trainer = Trainer(model, cfg)
 
     sample_x, _ = next(iter(train_loader))

@@ -1,5 +1,7 @@
 """Utils tests: array helpers, 3-D diff adjointness, profiling, debug."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -92,3 +94,30 @@ class TestSolverStateIO:
         np.testing.assert_allclose(
             np.asarray(x_resumed), np.asarray(x20), rtol=1e-5, atol=1e-6
         )
+
+
+class TestCompileCache:
+    """Round 5: persistent-compile-cache helper (fold1 first-compile
+    mitigation)."""
+
+    def test_enable_sets_config_and_creates_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from admm_deconv_tpu.utils.compile_cache import enable_compile_cache
+
+        monkeypatch.delenv("ADMM_TPU_NO_COMPILE_CACHE", raising=False)
+        d = str(tmp_path / "xla_cache")
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            got = enable_compile_cache(d)
+            assert got == d and os.path.isdir(d)
+            assert jax.config.jax_compilation_cache_dir == d
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_opt_out_env(self, tmp_path, monkeypatch):
+        from admm_deconv_tpu.utils.compile_cache import enable_compile_cache
+
+        monkeypatch.setenv("ADMM_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_compile_cache(str(tmp_path / "x")) is None
+        assert not os.path.isdir(str(tmp_path / "x"))

@@ -110,8 +110,9 @@ def composite_tv_deconvolve(
         # rho1*C folded for the bf16x1 loop matmuls — valid since both
         # penalties are fixed for the whole solve.
         from admm_deconv_tpu.ops.fft_mxu import fold_even_odd
+        from admm_deconv_tpu.ops.solver import _delta_hoist_irfft2
 
-        x_b = jnp.fft.irfft2(c_spec * b_f, s=(h, w))
+        x_b = _delta_hoist_irfft2(c_spec * b_f, h, w)
         c_spec = fold_even_odd(rho1_f * c_spec)
         b_f = x_b
 

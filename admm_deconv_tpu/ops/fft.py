@@ -61,7 +61,46 @@ def psf_to_otf(psf: jnp.ndarray, image_shape: tuple[int, int]) -> jnp.ndarray:
     padded = jnp.zeros((h, w), dtype=psf.dtype).at[:kh, :kw].set(psf)
     # Shift the center tap to the origin so the OTF carries no linear phase.
     padded = jnp.roll(padded, shift=(-ch, -cw), axis=(0, 1))
-    return jnp.fft.rfft2(padded)
+    return rfft2_exact(padded)
+
+
+def rfft2_exact(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """Exact-grade ``rfft2`` for precompute: the MXU DFT on accelerators
+    (HIGHEST by default, ~1e-6 relative of the fp32 FFT; several times
+    faster than XLA's native TPU FFT — round-5 roofline found the
+    per-solve precompute FFTs costing a measurable slice of every solve),
+    the native FFT on CPU.  Overridable via policy ``precompute_fft_mxu``;
+    callers on error budgets that tolerate ~1e-4 (the HIGH-ladder solve
+    modes) pass ``precision=HIGH`` for 2x fewer MXU passes.
+    """
+    import jax
+
+    from admm_deconv_tpu.ops.policy import policy
+
+    if jax.default_backend() == "cpu" or not policy().precompute_fft_mxu:
+        return jnp.fft.rfft2(x)
+    from admm_deconv_tpu.ops.fft_mxu import rfft2_mxu
+
+    re, im = rfft2_mxu(
+        x, precision=precision or jax.lax.Precision.HIGHEST
+    )
+    return jax.lax.complex(re, im)
+
+
+def irfft2_exact(c: jnp.ndarray, s: tuple[int, int], precision=None) -> jnp.ndarray:
+    """Exact-grade ``irfft2`` twin of :func:`rfft2_exact`."""
+    import jax
+
+    from admm_deconv_tpu.ops.policy import policy
+
+    if jax.default_backend() == "cpu" or not policy().precompute_fft_mxu:
+        return jnp.fft.irfft2(c, s=s)
+    from admm_deconv_tpu.ops.fft_mxu import irfft2_mxu
+
+    return irfft2_mxu(
+        jnp.real(c), jnp.imag(c), s,
+        precision=precision or jax.lax.Precision.HIGHEST,
+    )
 
 
 def laplacian_spectrum(

@@ -72,6 +72,15 @@ class AutoPolicy:
     # parity-grade (-0.01 dB on the blocks scenario).
     bf16_state_on_tpu: bool = True
 
+    # Run the per-solve precompute FFTs (rfft2(y), the OTF, the fold1
+    # x_B hoist and its per-block adaptive re-derivations) on the MXU at
+    # HIGHEST precision instead of XLA's native TPU FFT.  Provenance:
+    # round-5 roofline — the loop alone runs 284/203 iters/s at 1080p/4K
+    # while the full solve measured 260/178; the gap is dominated by the
+    # native-FFT precompute (XLA TPU FFT ~6% of HBM bandwidth, CLAUDE.md).
+    # HIGHEST-precision MXU DFT matches the fp32 FFT to ~1e-6 relative.
+    precompute_fft_mxu: bool = True
+
     # solve_auto's residual-check block length.  Provenance: round-3/4 ttq
     # tables — check_every=8 beats per-iteration checking at every measured
     # scale (norm reductions amortize; adaptation stays responsive).

@@ -57,7 +57,13 @@ import jax.numpy as jnp
 from admm_deconv_tpu.ops import prox as prox_lib
 from admm_deconv_tpu.ops.policy import policy
 from admm_deconv_tpu.ops.diff import grad2d, grad2d_adjoint
-from admm_deconv_tpu.ops.fft import laplacian_spectrum, psf_to_otf, psf_to_otf_full
+from admm_deconv_tpu.ops.fft import (
+    irfft2_exact,
+    laplacian_spectrum,
+    psf_to_otf,
+    psf_to_otf_full,
+    rfft2_exact,
+)
 from admm_deconv_tpu.ops.fft_factored import real_filter2d_packed, spectrum_to_layout
 from admm_deconv_tpu.ops.fft_mxu import (
     fold_even_odd,
@@ -301,11 +307,26 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
             otf_full = psf_to_otf_full(psf, (h, w))
             denom_h = spectrum_to_layout(jnp.abs(otf_full) ** 2)
             otf = psf_to_otf(psf, (h, w))
-            b_f = jnp.fft.irfft2(jnp.conj(otf) * jnp.fft.rfft2(y_f), s=(h, w))
+            b_f = irfft2_exact(jnp.conj(otf) * rfft2_exact(y_f), (h, w))
         return y_f, b_f, denom_h, lap, lam_f, rho_f, (b, h, w, c)
 
     lap = laplacian_spectrum((h, w), dtype=dtype)
-    y_hat = jnp.fft.rfft2(y_f)
+    # Precompute precision ladder: "xla" keeps the native FFT (it is the
+    # fp32-exact comparator); the HIGHEST-ladder modes get a HIGHEST
+    # (~1e-6) precompute; the HIGH/bf16x1 modes tolerate ~1e-4 everywhere
+    # else, so their precompute runs HIGH — 2x fewer MXU passes (round-5
+    # roofline: at 4K's 3 planes the HIGHEST precompute cost as much as
+    # the XLA FFT it replaced; HIGH is where the win is).
+    if fft_mode == "xla":
+        pre_prec = None  # rfft2_exact unused below for xla
+        y_hat = jnp.fft.rfft2(y_f)
+    else:
+        pre_prec = (
+            jax.lax.Precision.HIGHEST
+            if fft_mode.endswith("_precise")
+            else jax.lax.Precision.HIGH
+        )
+        y_hat = rfft2_exact(y_f, precision=pre_prec)
     if no_psf:
         # Pure TV denoising: H = identity (reference `src/ops/ops.jl:22,67-69`).
         denom_h = jnp.ones((), dtype=dtype)
@@ -337,13 +358,27 @@ def _form_cspec(denom_h, lap, rho, fft_mode):
     return c_spec
 
 
+def _delta_hoist_irfft2(spec, h, w):
+    """``irfft2`` of a full complex spectrum for the delta-form ``x_B``
+    hoist: the folded half-H MXU inverse at HIGH precision on accelerators
+    (identical math to ``irfft2_mxu_folded(*spectral_scale_folded(f, 1, 0))``;
+    ~1e-4 relative — inside the bf16x1 loop's own error envelope, and half
+    the FLOPs of the unfolded HIGHEST inverse), the native FFT on CPU."""
+    if jax.default_backend() == "cpu" or not policy().precompute_fft_mxu:
+        return jnp.fft.irfft2(spec, s=(h, w))
+    return irfft2_mxu_folded(
+        *fold_hermitian(spec), (h, w), precision=jax.lax.Precision.HIGH
+    )
+
+
 def _prepare_delta(b_c, denom_h, lap, rho, h, w):
-    """Delta-form precompute for ``fft_mode='fold1'`` (done ONCE per solve,
-    in exact fp32 via the XLA FFT): the constant image-scale part of the
-    x-update ``x_B = irfft2(C . B)`` and the folded loop multiplier
-    ``rho * C`` (rho folded in so the loop skips the per-iteration scale)."""
+    """Delta-form precompute for ``fft_mode='fold1'`` (done ONCE per solve
+    — and once per rho block in the adaptive solver — at exact grade):
+    the constant image-scale part of the x-update ``x_B = irfft2(C . B)``
+    and the folded loop multiplier ``rho * C`` (rho folded in so the loop
+    skips the per-iteration scale)."""
     c_spec = 1.0 / (denom_h + rho * lap)
-    x_b = jnp.fft.irfft2(c_spec * b_c, s=(h, w))
+    x_b = _delta_hoist_irfft2(c_spec * b_c, h, w)
     return x_b, fold_even_odd(rho * c_spec)
 
 

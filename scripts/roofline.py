@@ -30,6 +30,9 @@ Hardware constants (override via env for other chips):
   ROOFLINE_OP_MS        — fixed per-op dispatch overhead (this host: 0.75)
 
 Run on the TPU: ``python scripts/roofline.py [--full] [--out FILE]``.
+
+Committed round-5 output: ``ROOFLINE_r5.json``; the interpreted table
+lives in BASELINE.md ("Roofline accounting").
 """
 
 import argparse
@@ -153,8 +156,17 @@ def analyze(tag, n, h, w, results):
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / ITERS
-        bytes_ = float(cost.get("bytes accessed", 0.0)) / ITERS
+        # XLA's HLO cost analysis visits the while-loop body ONCE (it does
+        # not multiply by trip count), so the reported totals for a scanned
+        # program ARE per-iteration figures (verified: the 4K spectral
+        # report matches the hand-derived 598 GFLOP/iter folded-DFT count
+        # exactly).  CAVEAT on bytes: custom-call (Pallas) operands are
+        # counted at nominal size per use, which overstates true HBM
+        # traffic for the DMA kernel (measured stencil wall-clock beats the
+        # reported-bytes "floor"); the analytic per-array accounting in
+        # BASELINE.md round 5 is the authoritative byte floor.
+        flops = float(cost.get("flops", 0.0))
+        bytes_ = float(cost.get("bytes accessed", 0.0))
         n_ops = count_loop_ops(compiled.as_text()) if name == "full" else None
 
         timer = IterationTimer(

@@ -144,3 +144,48 @@ class TestProx:
         np.testing.assert_allclose(
             np.asarray(nuy), np.asarray(dxy + uy - zy), rtol=1e-6
         )
+
+
+class TestExactPrecomputeFFT:
+    """Round 5: the precompute FFT helpers (MXU on accelerators, native on
+    CPU) and the folded delta-hoist must match the native FFT."""
+
+    def test_exact_helpers_match_native_on_cpu(self, rng):
+        from admm_deconv_tpu.ops.fft import irfft2_exact, rfft2_exact
+
+        x = jnp.asarray(rng.random((2, 16, 24)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(rfft2_exact(x)), np.asarray(jnp.fft.rfft2(x)),
+            rtol=1e-6, atol=1e-6,
+        )
+        c = jnp.fft.rfft2(x)
+        np.testing.assert_allclose(
+            np.asarray(irfft2_exact(c, (16, 24))),
+            np.asarray(jnp.fft.irfft2(c, s=(16, 24))),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_delta_hoist_matches_native(self, rng):
+        from admm_deconv_tpu.ops.solver import _delta_hoist_irfft2
+
+        x = jnp.asarray(rng.random((3, 16, 24)), jnp.float32)
+        spec = jnp.fft.rfft2(x) * (1.0 + 0.5j)
+        got = _delta_hoist_irfft2(spec, 16, 24)
+        want = jnp.fft.irfft2(spec, s=(16, 24))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+    def test_folded_hoist_identity_math(self, rng):
+        """irfft2_mxu_folded(fold_hermitian(S)) == irfft2(S) — the identity
+        the accelerator branch of _delta_hoist_irfft2 relies on (validated
+        here on CPU with the MXU kernels at HIGHEST)."""
+        from admm_deconv_tpu.ops.fft_mxu import fold_hermitian, irfft2_mxu_folded
+
+        x = jnp.asarray(rng.random((2, 16, 24)), jnp.float32)
+        spec = jnp.fft.rfft2(x) * (0.3 - 1.2j)
+        got = irfft2_mxu_folded(*fold_hermitian(spec), (16, 24))
+        want = jnp.fft.irfft2(spec, s=(16, 24))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )

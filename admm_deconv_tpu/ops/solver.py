@@ -318,15 +318,16 @@ def _prepare(y, psf, lam, rho, fft_mode="xla"):
     # roofline: at 4K's 3 planes the HIGHEST precompute cost as much as
     # the XLA FFT it replaced; HIGH is where the win is).
     if fft_mode == "xla":
-        pre_prec = None  # rfft2_exact unused below for xla
         y_hat = jnp.fft.rfft2(y_f)
     else:
-        pre_prec = (
-            jax.lax.Precision.HIGHEST
-            if fft_mode.endswith("_precise")
-            else jax.lax.Precision.HIGH
+        y_hat = rfft2_exact(
+            y_f,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if fft_mode.endswith("_precise")
+                else jax.lax.Precision.HIGH
+            ),
         )
-        y_hat = rfft2_exact(y_f, precision=pre_prec)
     if no_psf:
         # Pure TV denoising: H = identity (reference `src/ops/ops.jl:22,67-69`).
         denom_h = jnp.ones((), dtype=dtype)

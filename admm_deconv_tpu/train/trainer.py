@@ -205,18 +205,26 @@ class Trainer:
             )
         params = jax.jit(self.model.init)(rng_key, sample_x)
         opt_state = self.optimizer.init(params)
+        # Counters are STRONG int32 (np.asarray): a weak-typed jnp scalar
+        # here would flip weak/strong against Orbax-restored (strong)
+        # leaves after a resume, and every flip retraces the train step —
+        # a ~300 s remote recompile per flip on the tunneled backend
+        # (round-5 regression: 3 extra compiles in the first resumed
+        # epochs; tests pin the trace count now).
         return TrainState(
             params=params,
             opt_state=opt_state,
-            step=jnp.asarray(0),
-            epoch=jnp.asarray(0),
+            step=jnp.asarray(np.asarray(0)),
+            epoch=jnp.asarray(np.asarray(0)),
         )
 
     def _rep(self, x):
         """Replicate a host scalar/array over the mesh (multi-process jit
-        inputs must be global arrays; a plain ``jnp.asarray`` is local)."""
+        inputs must be global arrays; a plain ``jnp.asarray`` is local).
+        Always STRONG-typed (via numpy) — see ``init_state`` on why weak
+        scalars retrace the step after checkpoint resume."""
         if self.mesh is None:
-            return jnp.asarray(x)
+            return jnp.asarray(np.asarray(x))
         return jax.device_put(np.asarray(x), self.replicated)
 
     def _set_lr(self, state: TrainState, lr: float) -> TrainState:
@@ -312,6 +320,28 @@ class Trainer:
         except ValueError:
             return None
 
+    def _canonicalize_restored(self, state):
+        """Normalize Orbax-restored arrays to the FRESH-state signature.
+
+        Restored leaves are device-COMMITTED; fresh jit outputs and the
+        loop's host-inserted values (``_rep``/``_zero_acc``) are not, and
+        committed-ness is part of the jit executable cache key — without
+        this, a resumed single-device run cycles through 3 signatures
+        (restored-committed, all-committed outputs, mixed after the epoch
+        boundary), i.e. 3 full train-step recompiles (~300 s each on the
+        tunneled backend; round-5 regression caught on the convergence
+        run).  The host round-trip strips commitment; the mesh path is
+        already consistently committed (everything rides device_put with
+        NamedShardings) and must not be round-tripped (non-addressable
+        shards in multi-process runs).
+        """
+        if state is None or self.mesh is not None:
+            return state
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)) if isinstance(a, jax.Array) else a,
+            state,
+        )
+
     def restore_best(self, model_dir: str, template: TrainState) -> TrainState | None:
         """Load the metric-named best checkpoint (the loading path the
         reference lacks entirely, SURVEY.md §5.4); None if absent.
@@ -333,8 +363,10 @@ class Trainer:
             for (vloss, ep) in [p]
         ]
         best = min(scored)[2] if scored else entries[-1]
-        return ocp.StandardCheckpointer().restore(
-            os.path.join(best_root, best), template
+        return self._canonicalize_restored(
+            ocp.StandardCheckpointer().restore(
+                os.path.join(best_root, best), template
+            )
         )
 
     def restore_latest(self, model_dir: str, template: TrainState) -> tuple[TrainState, int]:
@@ -346,7 +378,7 @@ class Trainer:
         restored = manager.restore(
             manager.latest_step(), args=ocp.args.StandardRestore(template)
         )
-        return restored, int(manager.latest_step()) + 1
+        return self._canonicalize_restored(restored), int(manager.latest_step()) + 1
 
     # ---- the loop ----------------------------------------------------------
 

@@ -331,3 +331,67 @@ class TestOnDeviceMetrics:
         assert float(row["eval_loss"]) > 0
         for k, v in want.items():
             assert np.isfinite(v), k
+
+
+class TestResumeRetrace:
+    """Round-5 regression: a resumed run must NOT retrace/recompile the
+    train step.  Two historical causes, both pinned here: weak-typed
+    counters (fresh ``jnp.asarray(0)`` vs strong restored ints) and
+    COMMITTED restored arrays vs uncommitted fresh/jit-output leaves —
+    each flip is a full step recompile (~300 s remote on the TPU
+    backend)."""
+
+    def test_single_signature_across_resume(self, tmp_path, rng):
+        from admm_deconv_tpu.train import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            batch_size=2, im_shape=(16, 16), epochs=2, lr_rate=1e-2,
+            loss="mse", optimizer="adam", save_dir=str(tmp_path),
+            plateau_patience=1, plateau_factor=0.5,
+        )
+        model = ADMMDeconvF2((), 4, 0.5)
+        train_l, eval_l = _toy_loaders(rng)
+
+        t1 = Trainer(model, cfg)
+        s1 = t1.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        t1.fit(s1, train_l, eval_l, epochs=2, log_fn=lambda s: None)
+        assert t1._train_step._cache_size() == 1
+
+        # Fresh process stand-in: a new Trainer restoring the checkpoint.
+        t2 = Trainer(model, cfg)
+        s2 = t2.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        t2.fit(s2, train_l, eval_l, epochs=5, log_fn=lambda s: None,
+               resume=True)
+        assert t2._train_step._cache_size() == 1, (
+            "resumed run retraced the train step (committed/weak-type "
+            "signature drift)"
+        )
+        assert t2._eval_step._cache_size() == 1
+
+    def test_restored_counters_match_fresh_avals(self, tmp_path, rng):
+        from admm_deconv_tpu.train import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            batch_size=2, im_shape=(16, 16), epochs=1, lr_rate=1e-2,
+            loss="mse", optimizer="adam", save_dir=str(tmp_path),
+        )
+        model = ADMMDeconvF2((), 4, 0.5)
+        train_l, eval_l = _toy_loaders(rng)
+        t = Trainer(model, cfg)
+        s = t.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        assert not s.step.weak_type and not s.epoch.weak_type
+        t.fit(s, train_l, eval_l, epochs=1, log_fn=lambda s2: None)
+        template = t.init_state(jax.random.PRNGKey(0), train_l[0][0])
+        restored, ep = t.restore_latest(
+            os.path.join(str(tmp_path), cfg.model_name), template
+        )
+        assert ep == 1
+        for fresh, rest in zip(
+            jax.tree_util.tree_leaves(template),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            assert fresh.dtype == rest.dtype
+            assert fresh.weak_type == rest.weak_type
+            assert getattr(fresh, "committed", None) == getattr(
+                rest, "committed", None
+            )

@@ -58,6 +58,63 @@ class ImageDataFeeder:
         self.backend = backend
         self._native_ok = None  # resolved lazily
 
+    @classmethod
+    def from_pair_list(
+        cls,
+        list_path: str,
+        root: str | None = None,
+        x_shape: tuple[int, int] | None = None,
+        y_shape: tuple[int, int] | None = None,
+        rng: np.random.Generator | None = None,
+        backend: str = "auto",
+        x_col: int = 1,
+        y_col: int = 0,
+    ) -> "ImageDataFeeder":
+        """Build a feeder from a RealBlur-style pair list file.
+
+        The reference sketches (commented-out) ingestion of the RealBlur
+        corpus via its ``*_train.txt`` list files — one pair per line,
+        whitespace-separated paths relative to the dataset root, first
+        token the ground truth, second the blurred frame
+        (``src/make_dataset.jl:7-13,110-113``).  Here it is a working
+        constructor: ``x`` (degraded) defaults to the second column,
+        ``y`` (clean) to the first; override ``x_col``/``y_col`` for list
+        files with swapped conventions.  Relative entries resolve against
+        ``root`` (default: the list file's directory).  Lines that are
+        empty or start with ``#`` are skipped; lines with fewer than two
+        tokens raise.
+        """
+        root = root if root is not None else os.path.dirname(os.path.abspath(list_path))
+        xs, ys = [], []
+        with open(list_path) as f:
+            for lineno, line in enumerate(f, 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                toks = line.split()
+                if len(toks) < 2:
+                    raise ValueError(
+                        f"{list_path}:{lineno}: expected at least 2 paths, "
+                        f"got {line!r}"
+                    )
+                def resolve(tok):
+                    return tok if os.path.isabs(tok) else os.path.join(root, tok)
+                xs.append(resolve(toks[x_col]))
+                ys.append(resolve(toks[y_col]))
+        self = cls.__new__(cls)
+        self.x_paths = xs
+        self.y_paths = ys
+        if not xs:
+            warnings.warn(f"pair list {list_path} contains no entries")
+        self.x_shape = x_shape
+        self.y_shape = y_shape
+        self.rng = rng if rng is not None else np.random.default_rng()
+        if backend not in ("auto", "native", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._native_ok = None
+        return self
+
     def _use_native(self) -> bool:
         if self.backend == "pil":
             return False

@@ -767,13 +767,15 @@ def main():
                     state = trainer.init_state(
                         jax.random.PRNGKey(0), np.zeros((bsz, 112, 112, 3), np.float32)
                     )
-                    # Warm the compile outside the timed epoch.
+                    # Warm the compile outside the timed epoch.  The step
+                    # DONATES (state, acc): keep the returned state and
+                    # never touch the donated originals again.
                     xb, yb = next(iter(loader))
-                    acc = trainer._zero_acc()
-                    st, acc = trainer._train_step(
-                        state, jnp.asarray(xb), jnp.asarray(yb), acc
+                    state, acc = trainer._train_step(
+                        state, jnp.asarray(xb), jnp.asarray(yb),
+                        trainer._zero_acc(),
                     )
-                    jax.block_until_ready(st.params)
+                    jax.block_until_ready(state.params)
 
                     def run_epoch():
                         nonlocal state

@@ -653,8 +653,8 @@ def _fwd_dma_body(
     i = pl.program_id(0)
     tau = tau_ref[i, 0]
 
-    def body(xw, xt, xb, uxw, uxb8, uyw, uyb8, qb, uxb, uyb, in_sems,
-             out_sems):
+    def body(xw, xt, xb, uxw, uxb8, uyw, uyb8, qb, uxb, uyb, uxs, uys,
+             in_sems, out_sems, st_sems):
         # HBM DMA slices must be 8-row aligned (the fp32 (8,128) tiling), so
         # halo rows ride 8-row aligned blocks: the TOP halo is the 8 rows
         # ending at the block start (its LAST row is x[r0-1]) and the
@@ -713,8 +713,28 @@ def _fwd_dma_body(
                 ),
             )
 
+        # Wrap-row stash (in-place-update safety): the ``ux``/``uy``
+        # OUTPUTS are ALIASED onto their input buffers
+        # (``input_output_aliases`` at the call sites), so the final
+        # block's circular bottom halo — rows 0..8, which block 0's output
+        # DMA overwrites — must be captured BEFORE any output is issued.
+        # Read them into VMEM here and WAIT (DMA issue order does not
+        # order completion against later writes); the loop substitutes the
+        # stash at ``j == g-1``.  In the tile variant (``halos``) those
+        # wrap rows are discarded in favor of neighbor-tile halo rows, so
+        # the stash is simply unused there.
+        st0 = pltpu.make_async_copy(
+            ux_hbm.at[i, pl.ds(0, 8)], uxs, st_sems.at[0]
+        )
+        st1 = pltpu.make_async_copy(
+            uy_hbm.at[i, pl.ds(0, 8)], uys, st_sems.at[1]
+        )
+        st0.start()
+        st1.start()
         for d in in_dmas(0, 0):
             d.start()
+        st0.wait()
+        st1.wait()
 
         def loop(j, carry):
             slot = j % 2
@@ -734,8 +754,9 @@ def _fwd_dma_body(
                     d.wait()
             top_row = xt[slot, -1:]
             bot_x = xb[slot, :1]
-            bot_ux = uxb8[slot, :1]
-            bot_uy = uyb8[slot, :1]
+            # Aliased duals: the wrap block reads the pre-overwrite stash.
+            bot_ux = jnp.where(j == g - 1, uxs[:1], uxb8[slot, :1])
+            bot_uy = jnp.where(j == g - 1, uys[:1], uyb8[slot, :1])
             if halos is not None:
                 # Tile variant: the first/last block's wrap rows come from
                 # the neighbor tiles (explicit halo rows), replacing the
@@ -788,8 +809,11 @@ def _fwd_dma_body(
         qb=pltpu.VMEM((2, bm, w), q_hbm.dtype),
         uxb=pltpu.VMEM((2, bm, w), uxo_hbm.dtype),
         uyb=pltpu.VMEM((2, bm, w), uyo_hbm.dtype),
+        uxs=pltpu.VMEM((8, w), ux_hbm.dtype),
+        uys=pltpu.VMEM((8, w), uy_hbm.dtype),
         in_sems=pltpu.SemaphoreType.DMA((2, 7)),
         out_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        st_sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
@@ -798,6 +822,14 @@ def _fwd_pallas_dma(x, ux, uy, tau_n1, mode, interpret, bm):
     g = h // bm
     out_shape = jax.ShapeDtypeStruct((n, h, w), ux.dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # The dual updates are in-place: ux/uy alias their outputs, so XLA
+    # stops materializing fresh dual buffers every while-loop iteration
+    # (measured +10% on the 1080p fold1 loop — the HLO staged ~3 full-array
+    # copies per iteration into the custom call without this).  The kernel
+    # stashes the circular wrap rows before its first output DMA (see
+    # ``_fwd_dma_body``); when the primal values are still live (the
+    # custom_vjp residuals during training), XLA copy-protects them
+    # automatically.
     return pl.pallas_call(
         functools.partial(_fwd_kernel_dma, mode, bm, g, h),
         grid=(n,),
@@ -807,6 +839,7 @@ def _fwd_pallas_dma(x, ux, uy, tau_n1, mode, interpret, bm):
         ],
         out_specs=(any_spec, any_spec, any_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        input_output_aliases={2: 1, 3: 2},
         interpret=interpret,
     )(tau_n1, x, ux, uy)
 
@@ -961,6 +994,10 @@ def fused_admm_stencil_halo(
             ],
             out_specs=(any_spec, any_spec, any_spec),
             out_shape=(out_shape, out_shape, out_shape),
+            # In-place dual update (see _fwd_pallas_dma).  Tile wrap rows
+            # are replaced by neighbor-tile halos, so the only aliased
+            # reads of already-written rows are discarded values.
+            input_output_aliases={6: 1, 7: 2},
             interpret=_default_interpret(interpret),
         )(tau_n1, x_top, x_bot, ux_bot, uy_bot, x, ux, uy)
     g = h // bm

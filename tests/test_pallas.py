@@ -317,10 +317,14 @@ class TestDMAKernels:
 
     # (2, 24, 128): single row block (g=1, wrap halos).  (1, 256, 2048):
     # two row blocks — exercises the double-buffered slot reuse and the
-    # modular top/bottom 8-row halo DMAs.
-    SHAPES = [(2, 24, 128), (1, 256, 2048)]
+    # modular top/bottom 8-row halo DMAs.  (1, 384, 2048): three row
+    # blocks — the final block's circular bottom halo (rows 0..8) must
+    # come from the round-5 pre-overwrite STASH now that the dual outputs
+    # alias their input buffers (``input_output_aliases``), and g=3 puts a
+    # full non-boundary block between the wrap endpoints.
+    SHAPES = [(2, 24, 128), (1, 256, 2048), (1, 384, 2048)]
 
-    @pytest.mark.parametrize("shape", SHAPES, ids=["g1", "g2"])
+    @pytest.mark.parametrize("shape", SHAPES, ids=["g1", "g2", "g3"])
     @pytest.mark.parametrize("dual_dtype", ["float32", "bfloat16"])
     def test_mixed_dma_matches_blocked_and_jnp(self, rng, shape, dual_dtype):
         from admm_deconv_tpu.ops.pallas.stencil_kernels import (
